@@ -1,0 +1,263 @@
+"""Configuration dataclasses for the whole framework.
+
+The reference drives everything through per-entry-point argparse flags
+(reference: 2Haff/train_ds.py:34-122, inference.py:20-49). Here the same
+surface is a composable set of frozen dataclasses with named presets; the
+CLI entry points parse flags into these.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+# ---------------------------------------------------------------------------
+# Token constants (reference: 2Haff/model/llava/constants.py)
+# ---------------------------------------------------------------------------
+IGNORE_INDEX = -100
+IMAGE_TOKEN_INDEX = -200
+DEFAULT_IMAGE_TOKEN = "<image>"
+DEFAULT_IM_START_TOKEN = "<im_start>"
+DEFAULT_IM_END_TOKEN = "<im_end>"
+SEG_TOKEN = "[SEG]"
+
+
+@dataclass(frozen=True)
+class ClipVisionConfig:
+    """CLIP ViT vision tower (reference: llava/model/multimodal_encoder/clip_encoder.py)."""
+
+    image_size: int = 224
+    patch_size: int = 14
+    hidden_size: int = 1024
+    intermediate_size: int = 4096
+    num_layers: int = 24
+    num_heads: int = 16
+    # Feature selection: hidden_states[select_layer], patch tokens only
+    # (reference: clip_encoder.py feature_select, select_layer=-2).
+    select_layer: int = -2
+    layer_norm_eps: float = 1e-5
+
+    @property
+    def num_patches(self) -> int:
+        return (self.image_size // self.patch_size) ** 2  # 256 for L/14 @224
+
+
+@dataclass(frozen=True)
+class LlamaConfig:
+    """LLaMA decoder (reference: HF LlamaModel used via llava_llama.py)."""
+
+    vocab_size: int = 32004  # 32000 + [SEG] + pad + im_start/end
+    hidden_size: int = 4096
+    intermediate_size: int = 11008
+    num_layers: int = 32
+    num_heads: int = 32
+    num_kv_heads: int = 32
+    head_dim: int = 128
+    max_seq_len: int = 1024
+    rope_theta: float = 10000.0
+    rms_norm_eps: float = 1e-6
+
+    @staticmethod
+    def preset(name: str) -> "LlamaConfig":
+        if name == "7b":
+            return LlamaConfig()
+        if name == "13b":
+            return LlamaConfig(
+                hidden_size=5120,
+                intermediate_size=13824,
+                num_layers=40,
+                num_heads=40,
+                num_kv_heads=40,
+            )
+        if name == "1b":
+            return LlamaConfig(
+                hidden_size=2048,
+                intermediate_size=5504,
+                num_layers=16,
+                num_heads=16,
+                num_kv_heads=16,
+            )
+        if name == "tiny":  # test-size
+            return LlamaConfig(
+                vocab_size=512,
+                hidden_size=64,
+                intermediate_size=128,
+                num_layers=2,
+                num_heads=4,
+                num_kv_heads=4,
+                head_dim=16,
+                max_seq_len=128,
+            )
+        raise ValueError(f"unknown llama preset {name!r}")
+
+
+@dataclass(frozen=True)
+class SamEncoderConfig:
+    """SAM image encoder ViT (reference: segment_anything/modeling/image_encoder.py)."""
+
+    image_size: int = 1024
+    patch_size: int = 16
+    embed_dim: int = 1280  # ViT-H
+    depth: int = 32
+    num_heads: int = 16
+    mlp_ratio: float = 4.0
+    out_chans: int = 256
+    window_size: int = 14
+    # Global-attention layer indices (ViT-H: every 8th, reference build_sam.py).
+    global_attn_indexes: Tuple[int, ...] = (7, 15, 23, 31)
+    use_rel_pos: bool = True
+    layer_norm_eps: float = 1e-6
+
+    @property
+    def grid_size(self) -> int:
+        return self.image_size // self.patch_size  # 64
+
+    @staticmethod
+    def preset(name: str) -> "SamEncoderConfig":
+        if name == "vit_h":
+            return SamEncoderConfig()
+        if name == "vit_l":
+            return SamEncoderConfig(
+                embed_dim=1024, depth=24, num_heads=16,
+                global_attn_indexes=(5, 11, 17, 23))
+        if name == "vit_b":
+            return SamEncoderConfig(
+                embed_dim=768, depth=12, num_heads=12,
+                global_attn_indexes=(2, 5, 8, 11))
+        if name == "tiny":
+            return SamEncoderConfig(
+                image_size=128, embed_dim=32, depth=2, num_heads=2,
+                out_chans=32, global_attn_indexes=(1,), window_size=4)
+        raise ValueError(f"unknown sam preset {name!r}")
+
+
+@dataclass(frozen=True)
+class SamDecoderConfig:
+    """Prompt encoder + dual mask decoders (reference: prompt_encoder.py, mask_decoder.py)."""
+
+    prompt_embed_dim: int = 256
+    num_multimask_outputs: int = 3  # -> 4 mask tokens total
+    transformer_depth: int = 2
+    transformer_mlp_dim: int = 2048
+    transformer_num_heads: int = 8
+    attention_downsample_rate: int = 2
+    iou_head_depth: int = 3
+    iou_head_hidden_dim: int = 256
+    taxonomy_classes: int = 4
+    mask_in_chans: int = 16
+
+
+@dataclass(frozen=True)
+class ModelConfig:
+    """Composite 2Haff model (reference: 2Haff/model/LISA.py)."""
+
+    llama: LlamaConfig = field(default_factory=lambda: LlamaConfig.preset("7b"))
+    clip: ClipVisionConfig = field(default_factory=ClipVisionConfig)
+    sam_encoder: SamEncoderConfig = field(
+        default_factory=lambda: SamEncoderConfig.preset("vit_h"))
+    sam_decoder: SamDecoderConfig = field(default_factory=SamDecoderConfig)
+    # [SEG] projection MLP: hidden -> hidden -> 256 (reference: LISA.py:91-104).
+    out_dim: int = 256
+    seg_token_idx: int = 32000
+    # Loss weights (reference: train_ds.py flags; LISA.py:346-430).
+    ce_loss_weight: float = 1.0
+    dice_loss_weight: float = 0.5
+    bce_loss_weight: float = 2.0
+    # dtype policy
+    dtype: str = "bfloat16"  # activation/compute dtype
+    param_dtype: str = "float32"
+
+    @staticmethod
+    def preset(name: str) -> "ModelConfig":
+        if name == "7b":
+            return ModelConfig()
+        if name == "13b":
+            return ModelConfig(llama=LlamaConfig.preset("13b"))
+        if name == "1b":
+            return ModelConfig(llama=LlamaConfig.preset("1b"))
+        if name == "tiny":
+            return ModelConfig(
+                llama=LlamaConfig.preset("tiny"),
+                clip=ClipVisionConfig(
+                    image_size=32, patch_size=8, hidden_size=32,
+                    intermediate_size=64, num_layers=2, num_heads=2),
+                sam_encoder=SamEncoderConfig.preset("tiny"),
+                sam_decoder=SamDecoderConfig(
+                    prompt_embed_dim=32, transformer_mlp_dim=64,
+                    transformer_num_heads=2, iou_head_hidden_dim=32,
+                    mask_in_chans=4),
+                out_dim=32,
+                seg_token_idx=500,
+            )
+        raise ValueError(f"unknown model preset {name!r}")
+
+    def replace(self, **kw) -> "ModelConfig":
+        return dataclasses.replace(self, **kw)
+
+
+@dataclass(frozen=True)
+class LoraConfig:
+    """LoRA targeting (reference: train_ds.py:192-244).
+
+    q/v projections of the LLM only; embed_tokens, lm_head, both mask
+    decoders and text_hidden_fcs stay fully trainable; everything else
+    frozen.
+    """
+
+    r: int = 8
+    alpha: int = 16
+    dropout: float = 0.05
+    target_suffixes: Tuple[str, ...] = ("q_proj", "v_proj")
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    """Device mesh layout. Axes: data (DP/ZeRO), fsdp (param shard), tensor (TP)."""
+
+    data: int = -1  # -1: fill with remaining devices
+    fsdp: int = 1
+    tensor: int = 1
+
+
+@dataclass(frozen=True)
+class TrainConfig:
+    """Training loop surface (reference: train_ds.py:34-122 flag set)."""
+
+    model: ModelConfig = field(default_factory=ModelConfig)
+    lora: LoraConfig = field(default_factory=LoraConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    lr: float = 3e-4
+    beta1: float = 0.9
+    beta2: float = 0.95
+    weight_decay: float = 0.0
+    warmup_steps: int = 100
+    total_steps: int = 5000  # epochs * steps_per_epoch
+    epochs: int = 10
+    steps_per_epoch: int = 500
+    batch_size: int = 2
+    grad_accumulation_steps: int = 10
+    grad_clip_norm: float = 1.0
+    model_max_length: int = 575
+    precision: str = "bf16"
+    remat: bool = True  # activation checkpointing
+    log_dir: str = "./runs/haff"
+    exp_name: str = "haff_tpu"
+    auto_resume: bool = True
+    seed: int = 42
+
+
+@dataclass(frozen=True)
+class InferConfig:
+    """Inference surface (reference: inference.py:20-49)."""
+
+    model: ModelConfig = field(default_factory=ModelConfig)
+    mesh: MeshConfig = field(default_factory=MeshConfig)
+    max_new_tokens: int = 64
+    model_max_length: int = 896
+    thresholds: Tuple[float, ...] = (0.1, 0.2, 0.3, 0.5, 0.7)
+    vis_save_path: str = "./vis_output"
+    precision: str = "bf16"
+
+
+ASPECT_RATIO_SQUARE = "square"

@@ -1,0 +1,202 @@
+"""SAM image encoder ViT, TPU-native.
+
+Capability parity with reference segment_anything/modeling/image_encoder.py
+(ViT-H: 32 blocks, embed 1280, 16 heads, window 14, global attention at
+layers {7,15,23,31}, decomposed relative position bias, conv neck to 256ch).
+
+Design differences from the reference (deliberate, TPU-first):
+  * NHWC layout throughout (XLA's native conv layout on TPU).
+  * The whole encoder is one jitted batched call — the reference loops
+    images one at a time under no_grad with cuda.empty_cache()
+    (reference: 2Haff/model/LISA.py:157-168, a GPU-memory workaround).
+  * Windowed attention is batched over (batch x windows); relative
+    position bias is computed in fp32 and added inside one fused
+    einsum-attention; matmuls run in bf16 on the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import SamEncoderConfig
+from .layers import ChannelLayerNorm, MLPBlock
+
+
+def get_rel_pos(q_size: int, k_size: int, rel_pos: jnp.ndarray) -> jnp.ndarray:
+    """Slice/interpolate relative positional embeddings for a q/k pair
+    (reference: image_encoder.py get_rel_pos). q_size == k_size for all
+    SAM self-attention; interpolation handles checkpoint/size mismatch."""
+    max_rel_dist = 2 * max(q_size, k_size) - 1
+    if rel_pos.shape[0] != max_rel_dist:
+        rel_pos = jax.image.resize(
+            rel_pos, (max_rel_dist, rel_pos.shape[1]), method="linear")
+    # q_size == k_size in practice; keep the general ratio math for parity.
+    q_coords = np.arange(q_size)[:, None] * max(k_size / q_size, 1.0)
+    k_coords = np.arange(k_size)[None, :] * max(q_size / k_size, 1.0)
+    relative = (q_coords - k_coords) + (k_size - 1) * max(q_size / k_size, 1.0)
+    return rel_pos[relative.astype(np.int64)]
+
+
+def decomposed_rel_pos_bias(
+    q: jnp.ndarray,  # (B, qh*qw, num_heads, head_dim)
+    rel_pos_h: jnp.ndarray,
+    rel_pos_w: jnp.ndarray,
+    q_hw: Tuple[int, int],
+    k_hw: Tuple[int, int],
+) -> jnp.ndarray:
+    """Decomposed relative position bias added to attention logits
+    (reference: image_encoder.py add_decomposed_rel_pos einsums).
+
+    Returns (B, num_heads, qh*qw, kh*kw) fp32 bias.
+    """
+    q_h, q_w = q_hw
+    k_h, k_w = k_hw
+    Rh = get_rel_pos(q_h, k_h, rel_pos_h).astype(jnp.float32)  # (qh, kh, hd)
+    Rw = get_rel_pos(q_w, k_w, rel_pos_w).astype(jnp.float32)  # (qw, kw, hd)
+
+    b = q.shape[0]
+    nh = q.shape[2]
+    r_q = q.reshape(b, q_h, q_w, nh, -1).astype(jnp.float32)
+    rel_h = jnp.einsum("bhwnc,hkc->bnhwk", r_q, Rh)  # (B, nh, qh, qw, kh)
+    rel_w = jnp.einsum("bhwnc,wkc->bnhwk", r_q, Rw)  # (B, nh, qh, qw, kw)
+    bias = rel_h[..., :, None] + rel_w[..., None, :]  # (B,nh,qh,qw,kh,kw)
+    return bias.reshape(b, nh, q_h * q_w, k_h * k_w)
+
+
+def window_partition(x: jnp.ndarray, window: int):
+    """(B, H, W, C) -> (B*nW, win, win, C), padding bottom/right
+    (reference: image_encoder.py window_partition)."""
+    b, h, w, c = x.shape
+    pad_h = (window - h % window) % window
+    pad_w = (window - w % window) % window
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    hp, wp = h + pad_h, w + pad_w
+    x = x.reshape(b, hp // window, window, wp // window, window, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, window, window, c)
+    return x, (hp, wp)
+
+
+def window_unpartition(x: jnp.ndarray, window: int, pad_hw, hw):
+    hp, wp = pad_hw
+    h, w = hw
+    b = x.shape[0] // (hp * wp // window // window)
+    x = x.reshape(b, hp // window, wp // window, window, window, -1)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, hp, wp, -1)
+    return x[:, :h, :w, :]
+
+
+class SamAttention(nn.Module):
+    """Multi-head self-attention with optional decomposed rel-pos bias.
+
+    Softmax in fp32, QK^T/PV on the MXU in the compute dtype.
+    """
+
+    num_heads: int
+    use_rel_pos: bool = True
+    input_hw: Tuple[int, int] = (14, 14)
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, C)
+        b, h, w, c = x.shape
+        head_dim = c // self.num_heads
+        scale = head_dim ** -0.5
+        qkv = nn.Dense(3 * c, use_bias=True, dtype=self.dtype,
+                       param_dtype=self.param_dtype, name="qkv")(x)
+        qkv = qkv.reshape(b, h * w, 3, self.num_heads, head_dim)
+        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, L, nh, hd)
+
+        logits = jnp.einsum("blnd,bmnd->bnlm", q * scale, k,
+                            preferred_element_type=jnp.float32)
+        if self.use_rel_pos:
+            rel_pos_h = self.param(
+                "rel_pos_h", nn.initializers.zeros,
+                (2 * self.input_hw[0] - 1, head_dim), self.param_dtype)
+            rel_pos_w = self.param(
+                "rel_pos_w", nn.initializers.zeros,
+                (2 * self.input_hw[1] - 1, head_dim), self.param_dtype)
+            logits = logits + decomposed_rel_pos_bias(
+                q, rel_pos_h, rel_pos_w, (h, w), (h, w))
+        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+        out = jnp.einsum("bnlm,bmnd->blnd", probs.astype(self.dtype), v)
+        out = out.reshape(b, h, w, c)
+        return nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype,
+                        name="proj")(out)
+
+
+class SamBlock(nn.Module):
+    cfg: SamEncoderConfig
+    window_size: int  # 0 => global attention
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):  # (B, H, W, C)
+        cfg = self.cfg
+        shortcut = x
+        x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+                         param_dtype=self.param_dtype, name="norm1")(x)
+        hw = x.shape[1:3]
+        if self.window_size > 0:
+            x, pad_hw = window_partition(x, self.window_size)
+            attn_hw = (self.window_size, self.window_size)
+        else:
+            attn_hw = (cfg.grid_size, cfg.grid_size)
+        x = SamAttention(
+            num_heads=cfg.num_heads, use_rel_pos=cfg.use_rel_pos,
+            input_hw=attn_hw, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="attn")(x)
+        if self.window_size > 0:
+            x = window_unpartition(x, self.window_size, pad_hw, hw)
+        x = shortcut + x
+        y = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+                         param_dtype=self.param_dtype, name="norm2")(x)
+        y = MLPBlock(int(cfg.embed_dim * cfg.mlp_ratio), dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="mlp")(y)
+        return x + y
+
+
+class SamImageEncoder(nn.Module):
+    """ViT backbone + neck producing (B, 64, 64, 256) image embeddings."""
+
+    cfg: SamEncoderConfig
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, x):  # (B, image_size, image_size, 3)
+        cfg = self.cfg
+        x = nn.Conv(cfg.embed_dim, (cfg.patch_size, cfg.patch_size),
+                    strides=(cfg.patch_size, cfg.patch_size),
+                    dtype=self.dtype, param_dtype=self.param_dtype,
+                    name="patch_embed")(x)
+        pos = self.param(
+            "pos_embed", nn.initializers.zeros,
+            (1, cfg.grid_size, cfg.grid_size, cfg.embed_dim), self.param_dtype)
+        x = x + pos.astype(self.dtype)
+
+        block_cls = nn.remat(SamBlock) if self.remat else SamBlock
+        for i in range(cfg.depth):
+            wsz = 0 if i in cfg.global_attn_indexes else cfg.window_size
+            x = block_cls(cfg=cfg, window_size=wsz, dtype=self.dtype,
+                          param_dtype=self.param_dtype, name=f"blocks_{i}")(x)
+
+        # Neck in fp32 (the reference guards fp16 overflow the same way,
+        # image_encoder.py neck fp32 path).
+        x = x.astype(jnp.float32)
+        x = nn.Conv(cfg.out_chans, (1, 1), use_bias=False, dtype=jnp.float32,
+                    param_dtype=self.param_dtype, name="neck_conv1")(x)
+        x = ChannelLayerNorm(param_dtype=self.param_dtype, name="neck_ln1")(x)
+        x = nn.Conv(cfg.out_chans, (3, 3), padding=1, use_bias=False,
+                    dtype=jnp.float32, param_dtype=self.param_dtype,
+                    name="neck_conv2")(x)
+        x = ChannelLayerNorm(param_dtype=self.param_dtype, name="neck_ln2")(x)
+        return x  # (B, grid, grid, out_chans)

@@ -1,0 +1,28 @@
+"""Test configuration: force an 8-device virtual CPU mesh.
+
+The reference has no tests (SURVEY.md section 4); the rebuild's multi-device
+strategy is validated on a virtual CPU mesh, the standard JAX substitute for
+fake-cluster fixtures.
+
+Note: the environment's sitecustomize registers the TPU backend at
+interpreter start, so JAX_PLATFORMS from the env alone is not enough — we
+force the platform through jax.config before any backend initializes.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
+# Golden-array comparisons need full f32 matmuls.
+jax.config.update("jax_default_matmul_precision", "highest")
+
+assert jax.default_backend() == "cpu"
+assert len(jax.devices()) == 8
