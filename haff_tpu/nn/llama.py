@@ -1,0 +1,280 @@
+"""LLaMA decoder, TPU-native.
+
+Capability parity with the reference's HF LlamaModel usage (reference:
+2Haff/model/llava/model/language_model/llava_llama.py — LLaMA-7B/13B with
+causal LM head). Designed for jit/pjit from the start:
+
+  * One batched forward with static shapes; padding via segment ids.
+  * Pallas flash attention (kernels/flash_attention.py) for prefill and
+    training; single-token decode uses an XLA KV-cache step (Lq == 1, no
+    flash needed).
+  * Weights carry flax logical-partitioning axis names so pjit can shard
+    heads/MLP columns over the `tensor` mesh axis and everything over
+    `fsdp` (the GSPMD equivalent of the reference's latent DeepSpeed
+    tensor-parallel path, SURVEY.md section 2.7).
+  * Final post-norm hidden states are always returned — the LISA [SEG]
+    gather needs them (reference: LISA.py:258-278 uses hidden_states[-1]).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..core.config import LlamaConfig
+from ..kernels.flash_attention import flash_attention, mha_reference
+
+# Logical axis names (mapped to mesh axes in parallel/sharding.py).
+EMBED = "embed"
+MLP = "mlp"
+HEADS = "heads"
+KV_HEADS = "kv_heads"
+HEAD_DIM = "head_dim"
+VOCAB = "vocab"
+
+
+def _dense(features, name, kernel_axes, dtype, param_dtype, use_bias=False):
+    return nn.Dense(
+        features, use_bias=use_bias, dtype=dtype, param_dtype=param_dtype,
+        kernel_init=nn.with_logical_partitioning(
+            nn.initializers.lecun_normal(), kernel_axes),
+        name=name)
+
+
+class RMSNorm(nn.Module):
+    eps: float = 1e-6
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        dim = x.shape[-1]
+        w = self.param(
+            "weight",
+            nn.with_logical_partitioning(nn.initializers.ones, (EMBED,)),
+            (dim,), self.param_dtype)
+        xf = x.astype(jnp.float32)
+        var = jnp.mean(jnp.square(xf), axis=-1, keepdims=True)
+        y = xf * jax.lax.rsqrt(var + self.eps)
+        return (y * w).astype(x.dtype)
+
+
+def rope_table(head_dim: int, max_len: int, theta: float) -> jnp.ndarray:
+    freqs = 1.0 / (theta ** (jnp.arange(0, head_dim, 2, dtype=jnp.float32)
+                             / head_dim))
+    t = jnp.arange(max_len, dtype=jnp.float32)
+    angles = jnp.outer(t, freqs)  # (max_len, head_dim/2)
+    return jnp.stack([jnp.cos(angles), jnp.sin(angles)], axis=0)
+
+
+def apply_rope(x: jnp.ndarray, positions: jnp.ndarray,
+               table: jnp.ndarray) -> jnp.ndarray:
+    """x: (B, L, H, D); positions: (B, L) int32; table: (2, max_len, D/2).
+
+    HF-llama rotate-half convention: the hidden dim is split into two
+    contiguous halves (x1, x2) and rotated as (x1*cos - x2*sin,
+    x2*cos + x1*sin)."""
+    cos = table[0][positions][:, :, None, :]  # (B, L, 1, D/2)
+    sin = table[1][positions][:, :, None, :]
+    d2 = x.shape[-1] // 2
+    x1, x2 = x[..., :d2], x[..., d2:]
+    xf1, xf2 = x1.astype(jnp.float32), x2.astype(jnp.float32)
+    return jnp.concatenate(
+        [xf1 * cos - xf2 * sin, xf2 * cos + xf1 * sin],
+        axis=-1).astype(x.dtype)
+
+
+class LlamaAttention(nn.Module):
+    cfg: LlamaConfig
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, positions, segment_ids=None, kv_cache=None,
+                 cache_index=None, cache_kv_segment_ids=None):
+        """x: (B, L, E).
+
+        Two modes:
+          * prefill/train (kv_cache may be given): attention runs over the
+            L input tokens with flash attention; if a cache is given, the
+            fresh k/v are ALSO written at per-row offsets `cache_index`
+            (B,) so a decode loop can continue from the prompt.
+          * decode (L == 1, kv_cache given): attend over the cache using
+            `cache_kv_segment_ids` (B, max_len; 1 marks live slots
+            INCLUDING the one just written — the caller maintains it).
+
+        Returns (out, new_kv_cache)."""
+        cfg = self.cfg
+        b, l, _ = x.shape
+        nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+
+        q = _dense(nh * hd, "q_proj", (EMBED, HEADS), self.dtype,
+                   self.param_dtype)(x).reshape(b, l, nh, hd)
+        k = _dense(nkv * hd, "k_proj", (EMBED, KV_HEADS), self.dtype,
+                   self.param_dtype)(x).reshape(b, l, nkv, hd)
+        v = _dense(nkv * hd, "v_proj", (EMBED, KV_HEADS), self.dtype,
+                   self.param_dtype)(x).reshape(b, l, nkv, hd)
+
+        table = rope_table(hd, cfg.max_seq_len, cfg.rope_theta)
+        q = apply_rope(q, positions, table)
+        k = apply_rope(k, positions, table)
+
+        new_cache = None
+        if kv_cache is not None:
+            ck, cv = kv_cache
+            if cache_index is None:
+                cache_index = jnp.zeros((b,), jnp.int32)
+            write = jax.vmap(
+                lambda c, kk, i: jax.lax.dynamic_update_slice(
+                    c, kk, (i, 0, 0)))
+            ck = write(ck, k.astype(ck.dtype), cache_index)
+            cv = write(cv, v.astype(cv.dtype), cache_index)
+            new_cache = (ck, cv)
+
+        if kv_cache is not None and l == 1:
+            # Decode step: attend over live cache slots.
+            ck, cv = new_cache
+            k_full, v_full = ck, cv
+            if nkv != nh:
+                rep = nh // nkv
+                k_full = jnp.repeat(k_full, rep, axis=2)
+                v_full = jnp.repeat(v_full, rep, axis=2)
+            q_seg = jnp.ones((b, l), jnp.int32)
+            out = mha_reference(
+                q, k_full.astype(q.dtype), v_full.astype(q.dtype),
+                q_segment_ids=q_seg,
+                kv_segment_ids=cache_kv_segment_ids, causal=False)
+        else:
+            if nkv != nh:
+                rep = nh // nkv
+                k = jnp.repeat(k, rep, axis=2)
+                v = jnp.repeat(v, rep, axis=2)
+            out = flash_attention(q, k, v, q_segment_ids=segment_ids,
+                                  kv_segment_ids=segment_ids, causal=True)
+
+        out = out.reshape(b, l, nh * hd)
+        out = _dense(cfg.hidden_size, "o_proj", (HEADS, EMBED), self.dtype,
+                     self.param_dtype)(out)
+        return out, new_cache
+
+
+class LlamaMLP(nn.Module):
+    cfg: LlamaConfig
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        cfg = self.cfg
+        gate = _dense(cfg.intermediate_size, "gate_proj", (EMBED, MLP),
+                      self.dtype, self.param_dtype)(x)
+        up = _dense(cfg.intermediate_size, "up_proj", (EMBED, MLP),
+                    self.dtype, self.param_dtype)(x)
+        return _dense(cfg.hidden_size, "down_proj", (MLP, EMBED),
+                      self.dtype, self.param_dtype)(nn.silu(gate) * up)
+
+
+class LlamaBlock(nn.Module):
+    cfg: LlamaConfig
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, positions, segment_ids=None, kv_cache=None,
+                 cache_index=None, cache_kv_segment_ids=None):
+        attn_out, new_cache = LlamaAttention(
+            cfg=self.cfg, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="self_attn")(
+                RMSNorm(eps=self.cfg.rms_norm_eps,
+                        param_dtype=self.param_dtype,
+                        name="input_layernorm")(x),
+                positions, segment_ids, kv_cache, cache_index,
+                cache_kv_segment_ids)
+        x = x + attn_out
+        mlp_out = LlamaMLP(
+            cfg=self.cfg, dtype=self.dtype, param_dtype=self.param_dtype,
+            name="mlp")(
+                RMSNorm(eps=self.cfg.rms_norm_eps,
+                        param_dtype=self.param_dtype,
+                        name="post_attention_layernorm")(x))
+        return x + mlp_out, new_cache
+
+
+class LlamaModel(nn.Module):
+    """Decoder stack operating on input embeddings (the multimodal splice
+    happens upstream, so embeddings — not token ids — are the interface,
+    matching reference llava_arch.py prepare_inputs_labels_for_multimodal)."""
+
+    cfg: LlamaConfig
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    @nn.compact
+    def __call__(self, inputs_embeds, positions, segment_ids=None,
+                 kv_caches=None, cache_index=None,
+                 cache_kv_segment_ids=None):
+        """Returns (hidden_states post-final-norm, new_kv_caches)."""
+        x = inputs_embeds.astype(self.dtype)
+        new_caches = []
+        block_cls = LlamaBlock
+        if self.remat:
+            block_cls = nn.remat(
+                LlamaBlock, static_argnums=(),
+                policy=jax.checkpoint_policies.nothing_saveable)
+        for i in range(self.cfg.num_layers):
+            cache = kv_caches[i] if kv_caches is not None else None
+            x, new_cache = block_cls(
+                cfg=self.cfg, dtype=self.dtype,
+                param_dtype=self.param_dtype, name=f"layers_{i}")(
+                    x, positions, segment_ids, cache, cache_index,
+                    cache_kv_segment_ids)
+            new_caches.append(new_cache)
+        x = RMSNorm(eps=self.cfg.rms_norm_eps, param_dtype=self.param_dtype,
+                    name="norm")(x)
+        return x, (new_caches if kv_caches is not None else None)
+
+
+class LlamaForCausalLM(nn.Module):
+    cfg: LlamaConfig
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    remat: bool = False
+
+    def setup(self):
+        self.embed_tokens = nn.Embed(
+            self.cfg.vocab_size, self.cfg.hidden_size,
+            dtype=self.dtype, param_dtype=self.param_dtype,
+            embedding_init=nn.with_logical_partitioning(
+                nn.initializers.normal(0.02), (VOCAB, EMBED)))
+        self.model = LlamaModel(cfg=self.cfg, dtype=self.dtype,
+                                param_dtype=self.param_dtype,
+                                remat=self.remat)
+        self.lm_head = _dense(self.cfg.vocab_size, "lm_head",
+                              (EMBED, VOCAB), self.dtype, self.param_dtype)
+
+    def embed(self, input_ids):
+        return self.embed_tokens(input_ids)
+
+    def __call__(self, inputs_embeds, positions, segment_ids=None,
+                 kv_caches=None, cache_index=None,
+                 cache_kv_segment_ids=None):
+        """Returns (logits, hidden post-norm, new kv caches)."""
+        hidden, new_caches = self.model(inputs_embeds, positions,
+                                        segment_ids, kv_caches, cache_index,
+                                        cache_kv_segment_ids)
+        logits = self.lm_head(hidden)
+        return logits, hidden, new_caches
+
+    def init_kv_caches(self, batch: int, max_len: int,
+                       dtype=jnp.bfloat16):
+        cfg = self.cfg
+        return [
+            (jnp.zeros((batch, max_len, cfg.num_kv_heads, cfg.head_dim),
+                       dtype),
+             jnp.zeros((batch, max_len, cfg.num_kv_heads, cfg.head_dim),
+                       dtype))
+            for _ in range(cfg.num_layers)
+        ]
