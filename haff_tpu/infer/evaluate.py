@@ -1,0 +1,99 @@
+"""The evaluate() parity API: text+image -> (output tokens, left/right
+affordance masks, taxonomy).
+
+Capability parity with reference LISA.py:432-534 model.evaluate():
+generate with hidden-state capture -> gather the [SEG] embedding ->
+prompt-encode it as a text prompt -> dual SAM mask decode -> postprocess.
+
+TPU-first: the whole thing is ONE jitted function (prefill + scan decode +
+batched SAM encode + dual decode). Masks come back on the padded square
+canvas; per-frame resize to the original resolution is host-side
+(nn/sam.py resize_to_original), exactly mirroring the reference's
+postprocess split.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import ModelConfig
+from ..model.lisa import LisaModel
+from ..model.multimodal import find_image_position, splice_image_embeddings
+from ..nn.sam import postprocess_masks_padded
+from .generate import GenerateResult, greedy_generate
+
+
+class EvaluateResult(NamedTuple):
+    output_ids: jnp.ndarray        # (B, T) generated tokens
+    gen_lengths: jnp.ndarray       # (B,)
+    pred_masks_left: jnp.ndarray   # (B, S, S) canvas logits
+    pred_masks_right: jnp.ndarray  # (B, S, S)
+    taxonomies: jnp.ndarray        # (B, 4) softmax probs
+    seg_found: jnp.ndarray         # (B,) bool: a [SEG] was emitted
+
+
+def evaluate_fn(model: LisaModel, params, images_sam, images_clip,
+                input_ids, attention_mask, max_new_tokens: int,
+                eos_id: int) -> EvaluateResult:
+    """images_*: (B, ...) preprocessed; input_ids (B, L) with
+    IMAGE_TOKEN_INDEX; attention_mask (B, L) 1 = real (right padding)."""
+    cfg = model.cfg
+
+    clip_emb = model.apply(params, images_clip, method="encode_clip")
+    tok = model.apply(params, input_ids, method="embed_tokens")
+    img_pos = find_image_position(input_ids)
+    sp = splice_image_embeddings(
+        tok, clip_emb, img_pos, input_ids, None, attention_mask,
+        seg_token_idx=cfg.seg_token_idx)
+    prompt_lengths = jnp.sum(sp.segment_ids, axis=1)
+
+    def embed_fn(tokens):
+        return model.apply(params, tokens, method="embed_tokens")
+
+    def llm_fn(emb, pos, seg, caches, idx, kvseg):
+        return model.apply(params, emb, pos, seg, caches, idx, kvseg,
+                           method="llm_forward")
+
+    gen = greedy_generate(
+        cfg.llama, embed_fn, llm_fn, sp.embeds, sp.positions,
+        sp.segment_ids, prompt_lengths, max_new_tokens, eos_id)
+
+    # [SEG] gather: first emitted [SEG] token's source hidden state.
+    is_seg = (gen.tokens == cfg.seg_token_idx) & (
+        jnp.arange(max_new_tokens)[None, :] < gen.lengths[:, None])
+    seg_found = is_seg.any(axis=1)
+    first = jnp.argmax(is_seg, axis=1)
+    seg_hidden = jnp.take_along_axis(
+        gen.hiddens, first[:, None, None], axis=1)           # (B, 1, E)
+    seg_emb = model.apply(params, seg_hidden, method="project_seg")
+    seg_emb = seg_emb * seg_found[:, None, None]
+
+    sam_emb = model.apply(params, images_sam, method="encode_sam")
+    masks_l, masks_r, iou_l, iou_r, taxonomy = model.apply(
+        params, sam_emb, seg_emb, method="decode_masks")
+    S = cfg.sam_encoder.image_size
+    pred_l = postprocess_masks_padded(masks_l, S)[:, 0]
+    pred_r = postprocess_masks_padded(masks_r, S)[:, 0]
+
+    return EvaluateResult(
+        output_ids=gen.tokens, gen_lengths=gen.lengths,
+        pred_masks_left=pred_l, pred_masks_right=pred_r,
+        taxonomies=taxonomy, seg_found=seg_found)
+
+
+def make_jitted_evaluate(model: LisaModel, max_new_tokens: int,
+                         eos_id: int):
+    """Returns evaluate(params, images_sam, images_clip, input_ids,
+    attention_mask) jitted with static generation length."""
+
+    @jax.jit
+    def _eval(params, images_sam, images_clip, input_ids, attention_mask):
+        return evaluate_fn(model, params, images_sam, images_clip,
+                           input_ids, attention_mask, max_new_tokens,
+                           eos_id)
+
+    return _eval

@@ -268,6 +268,12 @@ class LlamaForCausalLM(nn.Module):
         logits = self.lm_head(hidden)
         return logits, hidden, new_caches
 
+    def init_all(self, input_ids, positions):
+        """Init helper: touches every submodule (flax creates params
+        lazily, and __call__ alone never exercises embed_tokens)."""
+        emb = self.embed(input_ids)
+        return self(emb, positions)
+
     def init_kv_caches(self, batch: int, max_len: int,
                        dtype=jnp.bfloat16):
         cfg = self.cfg

@@ -1,0 +1,153 @@
+"""Data layer: tokenizer splice, conversation labels, transforms shape
+math, h5/json shard roundtrip, collate contract."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from haff_tpu.core.config import IGNORE_INDEX, IMAGE_TOKEN_INDEX
+from haff_tpu.data.aff_dataset import AffDataset, rasterize_contours
+from haff_tpu.data.collate import Sample, collate_affordance, tokenize_conversation
+from haff_tpu.data.prompts import build_conversation
+from haff_tpu.data.tokenizer import ByteTokenizer, seg_token_idx, tokenizer_image_token
+from haff_tpu.data.transforms import (
+    clip_preprocess,
+    get_preprocess_shape,
+    mask_to_canvas,
+    sam_preprocess,
+)
+
+
+def test_preprocess_shape_math():
+    # reference transforms.py:102-113 semantics: int(side * scale + 0.5)
+    assert get_preprocess_shape(480, 640, 1024) == (768, 1024)
+    assert get_preprocess_shape(640, 480, 1024) == (1024, 768)
+    assert get_preprocess_shape(1024, 1024, 1024) == (1024, 1024)
+    assert get_preprocess_shape(720, 1280, 1024) == (576, 1024)
+
+
+def test_tokenizer_image_token_splice():
+    tok = ByteTokenizer()
+    ids = tokenizer_image_token("hi <image> there", tok)
+    assert ids[0] == tok.bos_token_id
+    assert ids.count(IMAGE_TOKEN_INDEX) == 1
+    # Roundtrip text (image sentinel dropped)
+    text = tok.decode([i for i in ids if i >= 0])
+    assert text == "hi  there"
+
+
+def test_seg_token_roundtrip():
+    tok = ByteTokenizer()
+    sid = seg_token_idx(tok)
+    ids = tok("It is [SEG].").input_ids
+    assert sid in ids
+    assert tok.decode(ids) == "It is [SEG]."
+
+
+def test_conversation_label_masking():
+    tok = ByteTokenizer()
+    ids, labels = tokenize_conversation(
+        "<image>\nWhere?", "It is [SEG].", tok)
+    assert len(ids) == len(labels)
+    sid = seg_token_idx(tok)
+    # everything before the answer is IGNORE; answer tokens supervised
+    assert labels[0] == IGNORE_INDEX
+    assert sid in labels
+    first_sup = next(i for i, l in enumerate(labels) if l != IGNORE_INDEX)
+    answer_txt = tok.decode([l for l in labels[first_sup:] if l >= 0])
+    assert answer_txt.startswith("It is [SEG].")
+    # prompt contains exactly one image sentinel
+    assert ids.count(IMAGE_TOKEN_INDEX) == 1
+
+
+def test_sam_and_clip_preprocess_shapes():
+    img = (np.random.RandomState(0).rand(120, 160, 3) * 255).astype(np.uint8)
+    canvas, resize = sam_preprocess(img, 256)
+    assert canvas.shape == (256, 256, 3)
+    assert resize == (192, 256)
+    assert np.all(canvas[192:] == 0)
+    clip = clip_preprocess(img, 64)
+    assert clip.shape == (64, 64, 3)
+
+
+def test_rasterize_contours_square():
+    contour = [[[2, 2]], [[2, 7]], [[7, 7]], [[7, 2]]]  # cv2 point format
+    mask = rasterize_contours([contour], (10, 10))
+    assert mask[4, 4] == 1 and mask[0, 0] == 0
+    assert mask.sum() == 36  # 6x6 filled square
+
+
+def test_mask_to_canvas_binary():
+    mask = np.zeros((50, 100), np.uint8)
+    mask[10:20, 30:60] = 1
+    canvas = mask_to_canvas(mask, (64, 128), 128)
+    assert canvas.shape == (128, 128)
+    assert set(np.unique(canvas)) <= {0.0, 1.0}
+
+
+@pytest.fixture
+def shard_dir(tmp_path):
+    """Synthetic 2HANDS shard pair (h5 + json) in the reference layout."""
+    import h5py
+
+    h5dir = tmp_path / "h5"
+    jdir = tmp_path / "jsons"
+    h5dir.mkdir()
+    jdir.mkdir()
+    n = 4
+    with h5py.File(h5dir / "0-3_P01.h5", "w") as f:
+        g = f.create_group("data")
+        g.create_dataset("inpainted",
+                         data=np.random.RandomState(0).randint(
+                             0, 255, (n, 64, 80, 3), np.uint8))
+        g.create_dataset(
+            "narration",
+            data=np.array([b"open drawer", b"cut onion", b"pour water",
+                           b"wash plate"]))
+        tax = np.zeros((n, 4), np.float32)
+        tax[:, 0] = 1
+        g.create_dataset("taxonomy", data=tax)
+    entries = {}
+    for i in range(n):
+        entries[str(i)] = {
+            "original_size": [64, 80],
+            "aff_left": [[[[10, 10]], [[10, 20]], [[20, 20]], [[20, 10]]]],
+            "aff_right": [],
+        }
+    (jdir / "0-3_P01.json").write_text(json.dumps(entries))
+    return str(tmp_path)
+
+
+def test_aff_dataset_local_shards(shard_dir):
+    ds = AffDataset(shard_dir, samples_per_epoch=8, seed=0)
+    assert ds.size == 4
+    s = ds.get(1)
+    assert s.image.shape == (64, 80, 3)
+    assert "cut onion" in s.question
+    assert "[SEG]" in s.answer
+    assert s.mask_left.sum() > 0
+    assert s.mask_right.sum() == 0
+    assert s.taxonomy.tolist() == [1, 0, 0, 0]
+    # random-draw __getitem__
+    s2 = ds[0]
+    assert s2.image.shape == (64, 80, 3)
+
+
+def test_collate_static_shapes(shard_dir):
+    ds = AffDataset(shard_dir, samples_per_epoch=8, seed=0)
+    tok = ByteTokenizer()
+    samples = [ds.get(i) for i in range(3)]
+    batch = collate_affordance(samples, tok, sam_image_size=128,
+                               clip_image_size=32, max_text_len=512,
+                               batch_size=4)
+    assert batch["images_sam"].shape == (4, 128, 128, 3)
+    assert batch["input_ids"].shape == (4, 512)
+    assert batch["sample_weight"].tolist() == [1, 1, 1, 0]
+    assert (batch["input_ids"] == IMAGE_TOKEN_INDEX).sum() == 3
+    # labels supervise only the answer region
+    row = batch["labels"][0]
+    assert (row != IGNORE_INDEX).sum() > 0
+    sup = row[row != IGNORE_INDEX]
+    assert seg_token_idx(tok) in sup.tolist()
