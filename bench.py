@@ -1,0 +1,99 @@
+"""Benchmark: single-frame bimanual affordance mask path, frames/sec/chip.
+
+Measures the latency-dominating compute of the reference's inference
+(SURVEY.md section 3.3: get_visual_embs — SAM ViT-H over 1024x1024 —
+dominates single-frame latency, followed by the dual prompted mask
+decode). Batched bf16 on one chip: FULL SAM ViT-H encoder (32 blocks,
+embed 1280, windowed attention + 4 global layers with decomposed rel-pos
+bias) + prompt encode + BOTH mask decoders + taxonomy head + canvas
+upsample.
+
+Baseline: the reference publishes no numbers (BASELINE.md). The A100
+anchor used for vs_baseline is 10 frames/s for the same mask path
+(fp16 SAM ViT-H encoder ~95ms/frame on A100 per the SAM paper's
+reported timings, plus the dual decoder at ~3ms), stated here so the
+comparison is reproducible and auditable.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+A100_BASELINE_FPS = 10.0
+
+
+def build(batch: int):
+    from haff_tpu.core.config import ModelConfig
+    from haff_tpu.model.lisa import LisaModel  # noqa: F401  (import check)
+    from haff_tpu.nn.sam import Sam, postprocess_masks_padded
+
+    cfg = ModelConfig.preset("7b")  # SAM ViT-H + full decoder config
+    model = Sam(encoder_cfg=cfg.sam_encoder, decoder_cfg=cfg.sam_decoder,
+                dtype=jnp.bfloat16)
+    S = cfg.sam_encoder.image_size
+    rng = np.random.RandomState(0)
+    images = jnp.asarray(rng.randn(batch, S, S, 3).astype(np.float32))
+    text = jnp.asarray(
+        rng.randn(batch, 1, cfg.sam_decoder.prompt_embed_dim)
+        .astype(np.float32))
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), images, text)
+
+    @jax.jit
+    def mask_path(params, images, text):
+        masks_l, masks_r, iou_l, iou_r, tax = model.apply(
+            params, images, text)
+        return (postprocess_masks_padded(masks_l, S),
+                postprocess_masks_padded(masks_r, S), tax)
+
+    return mask_path, params, images, text
+
+
+def _sync(out):
+    # NOTE: under the axon tunnel block_until_ready returns early; a host
+    # readback is the only reliable sync (verified: chained-matmul probe
+    # reads 118 TFLOP/s with readback vs an impossible 49 PFLOP/s with
+    # block_until_ready alone).
+    return float(np.asarray(out[2]).sum())
+
+
+def run(batch: int, iters: int = 10):
+    fn, params, images, text = build(batch)
+    _sync(fn(params, images, text))  # compile
+    _sync(fn(params, images, text))  # warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(params, images, text)
+    _sync(out)  # device streams execute in order: last-result readback
+    dt = time.perf_counter() - t0
+    return batch * iters / dt
+
+
+def main():
+    for batch in (8, 4, 2, 1):
+        try:
+            fps = run(batch)
+            break
+        except Exception as e:  # OOM etc. -> shrink batch
+            print(f"# batch {batch} failed: {type(e).__name__}: "
+                  f"{str(e)[:200]}", file=sys.stderr)
+            fps = None
+    if fps is None:
+        print(json.dumps(dict(metric="affordance_mask_frames_per_sec_chip",
+                              value=0.0, unit="frames/s",
+                              vs_baseline=0.0)))
+        return
+    print(json.dumps(dict(
+        metric="affordance_mask_frames_per_sec_chip",
+        value=round(fps, 3),
+        unit="frames/s",
+        vs_baseline=round(fps / A100_BASELINE_FPS, 3))))
+
+
+if __name__ == "__main__":
+    main()

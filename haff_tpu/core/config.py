@@ -57,6 +57,10 @@ class LlamaConfig:
     max_seq_len: int = 1024
     rope_theta: float = 10000.0
     rms_norm_eps: float = 1e-6
+    # LoRA on q/v projections (reference train_ds.py:192-231); 0 = off.
+    lora_rank: int = 0
+    lora_alpha: float = 16.0
+    lora_dropout: float = 0.05
 
     @staticmethod
     def preset(name: str) -> "LlamaConfig":

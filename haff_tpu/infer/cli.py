@@ -1,0 +1,146 @@
+"""Batch benchmark inference CLI.
+
+Capability parity with reference 2Haff/inference.py: walks
+benchmark_dir/<vid>/<frame>/{inpainting.png, annotation.json}, prompts
+"Where would you interact with the object to perform action {narration}",
+generates, decodes dual masks, sweeps sigmoid thresholds
+{0.1,0.2,0.3,0.5,0.7}, and writes vis_save_path{th}/<vid>/<frame>/
+aff_{left,right}.png gated by the taxonomy argmax (inference.py:276-334:
+0 = left-only zeroes the right mask, 1 = right-only zeroes the left,
+2/3 keep both).
+
+TPU-first: frames are processed in fixed-size batches through ONE jitted
+evaluate; host work is only PNG IO + final resize.
+
+Usage: python -m haff_tpu.infer.cli --benchmark_dir B [--vis_save_path V]
+       [--model_preset tiny|1b|7b|13b] [--checkpoint DIR]
+       [--tokenizer PATH] [--batch 8] [--max_new_tokens 32]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from typing import List
+
+import numpy as np
+
+
+def write_threshold_masks(vis_base: str, vid: str, frame: str,
+                          logits_left: np.ndarray, logits_right: np.ndarray,
+                          taxonomy: np.ndarray, thresholds) -> None:
+    """Threshold sweep + taxonomy gating + PNG output (reference
+    inference.py:276-334)."""
+    import cv2
+
+    probs_l = 1.0 / (1.0 + np.exp(-logits_left))
+    probs_r = 1.0 / (1.0 + np.exp(-logits_right))
+    tax = int(np.argmax(taxonomy))
+    for th in thresholds:
+        ml = (probs_l > th).astype(np.uint8) * 255
+        mr = (probs_r > th).astype(np.uint8) * 255
+        if tax == 0:      # left-hand only
+            mr[:] = 0
+        elif tax == 1:    # right-hand only
+            ml[:] = 0
+        out_dir = os.path.join(f"{vis_base}{th}", vid, frame)
+        os.makedirs(out_dir, exist_ok=True)
+        cv2.imwrite(os.path.join(out_dir, "aff_left.png"), ml)
+        cv2.imwrite(os.path.join(out_dir, "aff_right.png"), mr)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--benchmark_dir", required=True)
+    p.add_argument("--vis_save_path", default="./vis_output")
+    p.add_argument("--model_preset", default="7b")
+    p.add_argument("--checkpoint", default=None,
+                   help="orbax checkpoint dir (random init if absent)")
+    p.add_argument("--tokenizer", default=None,
+                   help="local HF tokenizer path (ByteTokenizer fallback)")
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--max_new_tokens", type=int, default=32)
+    p.add_argument("--max_text_len", type=int, default=320)
+    p.add_argument("--thresholds", type=float, nargs="+",
+                   default=[0.1, 0.2, 0.3, 0.5, 0.7])
+    p.add_argument("--precision", default="bf16",
+                   choices=["bf16", "fp32"])
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.config import ModelConfig
+    from ..data.aff_dataset import AffDatasetVal
+    from ..data.collate import collate_affordance
+    from ..data.tokenizer import load_tokenizer, seg_token_idx
+    from ..model.lisa import LisaModel, TrainBatch
+    from ..nn.sam import resize_to_original
+    from .evaluate import make_jitted_evaluate
+
+    tok = load_tokenizer(args.tokenizer,
+                         model_max_length=args.max_text_len)
+    cfg = ModelConfig.preset(args.model_preset).replace(
+        seg_token_idx=seg_token_idx(tok),
+        dtype="bfloat16" if args.precision == "bf16" else "float32")
+    model = LisaModel(
+        cfg=cfg, dtype=jnp.bfloat16 if args.precision == "bf16"
+        else jnp.float32)
+
+    ds = AffDatasetVal(args.benchmark_dir)
+    print(f"benchmark frames: {len(ds)}")
+    if not len(ds):
+        return
+
+    # Init params (from checkpoint when given).
+    sample0, _ = ds[0]
+    b0 = collate_affordance([sample0], tok,
+                            sam_image_size=cfg.sam_encoder.image_size,
+                            clip_image_size=cfg.clip.image_size,
+                            max_text_len=args.max_text_len,
+                            for_training=False)
+    tb0 = TrainBatch(**{k: jnp.asarray(v) for k, v in b0.items()
+                        if k != "resizes"})
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), tb0)
+    if args.checkpoint:
+        from ..train.checkpoints import restore_checkpoint
+
+        params, step = restore_checkpoint(args.checkpoint, params)
+        print(f"restored checkpoint step {step}")
+
+    ev = make_jitted_evaluate(model, max_new_tokens=args.max_new_tokens,
+                              eos_id=tok.eos_token_id)
+
+    B = args.batch
+    for start in range(0, len(ds), B):
+        items = [ds[i] for i in range(start, min(start + B, len(ds)))]
+        samples = [s for s, _ in items]
+        entries = [e for _, e in items]
+        pad = B - len(samples)
+        batch = collate_affordance(
+            samples + [samples[-1]] * pad, tok,
+            sam_image_size=cfg.sam_encoder.image_size,
+            clip_image_size=cfg.clip.image_size,
+            max_text_len=args.max_text_len, for_training=False)
+        res = ev(params,
+                 jnp.asarray(batch["images_sam"]),
+                 jnp.asarray(batch["images_clip"]),
+                 jnp.asarray(batch["input_ids"]),
+                 jnp.asarray(batch["attention_mask"]))
+        ml = np.asarray(res.pred_masks_left, np.float32)
+        mr = np.asarray(res.pred_masks_right, np.float32)
+        tax = np.asarray(res.taxonomies)
+        for i, (sample, entry) in enumerate(zip(samples, entries)):
+            orig = sample.image.shape[:2]
+            rh, rw = batch["resizes"][i]
+            left = resize_to_original(ml[i:i + 1], (rh, rw), orig)[0]
+            right = resize_to_original(mr[i:i + 1], (rh, rw), orig)[0]
+            write_threshold_masks(args.vis_save_path, entry["vid"],
+                                  entry["frame"], left, right, tax[i],
+                                  args.thresholds)
+        print(f"[{min(start + B, len(ds))}/{len(ds)}] done", flush=True)
+
+
+if __name__ == "__main__":
+    main()

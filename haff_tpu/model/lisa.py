@@ -110,9 +110,9 @@ class LisaModel(nn.Module):
 
     def llm_forward(self, inputs_embeds, positions, segment_ids=None,
                     kv_caches=None, cache_index=None,
-                    cache_kv_segment_ids=None):
+                    cache_kv_segment_ids=None, deterministic=True):
         return self.llm(inputs_embeds, positions, segment_ids, kv_caches,
-                        cache_index, cache_kv_segment_ids)
+                        cache_index, cache_kv_segment_ids, deterministic)
 
     def embed_tokens(self, input_ids):
         safe = jnp.maximum(input_ids, 0)  # IMAGE_TOKEN_INDEX -> slot 0
@@ -120,7 +120,8 @@ class LisaModel(nn.Module):
 
     # ----- the jitted training/validation forward -----
 
-    def __call__(self, batch: TrainBatch) -> LisaOutputs:
+    def __call__(self, batch: TrainBatch,
+                 deterministic: bool = True) -> LisaOutputs:
         cfg = self.cfg
         # 1. vision encoders over UNIQUE images, then expand.
         sam_emb = self.encode_sam(batch.images_sam)        # (B_img, g, g, 256)
@@ -135,7 +136,8 @@ class LisaModel(nn.Module):
             tok, clip_emb, img_pos, batch.input_ids, batch.labels,
             batch.attention_mask, seg_token_idx=cfg.seg_token_idx)
         logits, hidden, _ = self.llm_forward(
-            sp.embeds, sp.positions, sp.segment_ids)
+            sp.embeds, sp.positions, sp.segment_ids,
+            deterministic=deterministic)
 
         # 3. [SEG] gather + projection.
         proj = self.project_seg(hidden)                    # (B, L, out_dim)

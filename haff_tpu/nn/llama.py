@@ -93,7 +93,8 @@ class LlamaAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, positions, segment_ids=None, kv_cache=None,
-                 cache_index=None, cache_kv_segment_ids=None):
+                 cache_index=None, cache_kv_segment_ids=None,
+                 deterministic=True):
         """x: (B, L, E).
 
         Two modes:
@@ -110,12 +111,25 @@ class LlamaAttention(nn.Module):
         b, l, _ = x.shape
         nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
-        q = _dense(nh * hd, "q_proj", (EMBED, HEADS), self.dtype,
-                   self.param_dtype)(x).reshape(b, l, nh, hd)
+        from .lora import LoraDense
+
+        # q/v carry optional LoRA adapters (reference targets q_proj and
+        # v_proj only, train_ds.py:195-221); layout is stable regardless
+        # of rank (kernel at {q,v}_proj/base/kernel).
+        q = LoraDense(features=nh * hd, rank=cfg.lora_rank,
+                      alpha=cfg.lora_alpha, dropout=cfg.lora_dropout,
+                      dtype=self.dtype, param_dtype=self.param_dtype,
+                      kernel_axes=(EMBED, HEADS), name="q_proj")(
+                          x, deterministic=deterministic)
+        q = q.reshape(b, l, nh, hd)
         k = _dense(nkv * hd, "k_proj", (EMBED, KV_HEADS), self.dtype,
                    self.param_dtype)(x).reshape(b, l, nkv, hd)
-        v = _dense(nkv * hd, "v_proj", (EMBED, KV_HEADS), self.dtype,
-                   self.param_dtype)(x).reshape(b, l, nkv, hd)
+        v = LoraDense(features=nkv * hd, rank=cfg.lora_rank,
+                      alpha=cfg.lora_alpha, dropout=cfg.lora_dropout,
+                      dtype=self.dtype, param_dtype=self.param_dtype,
+                      kernel_axes=(EMBED, KV_HEADS), name="v_proj")(
+                          x, deterministic=deterministic)
+        v = v.reshape(b, l, nkv, hd)
 
         table = rope_table(hd, cfg.max_seq_len, cfg.rope_theta)
         q = apply_rope(q, positions, table)
@@ -183,7 +197,8 @@ class LlamaBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, positions, segment_ids=None, kv_cache=None,
-                 cache_index=None, cache_kv_segment_ids=None):
+                 cache_index=None, cache_kv_segment_ids=None,
+                 deterministic=True):
         attn_out, new_cache = LlamaAttention(
             cfg=self.cfg, dtype=self.dtype, param_dtype=self.param_dtype,
             name="self_attn")(
@@ -191,7 +206,7 @@ class LlamaBlock(nn.Module):
                         param_dtype=self.param_dtype,
                         name="input_layernorm")(x),
                 positions, segment_ids, kv_cache, cache_index,
-                cache_kv_segment_ids)
+                cache_kv_segment_ids, deterministic)
         x = x + attn_out
         mlp_out = LlamaMLP(
             cfg=self.cfg, dtype=self.dtype, param_dtype=self.param_dtype,
@@ -215,7 +230,7 @@ class LlamaModel(nn.Module):
     @nn.compact
     def __call__(self, inputs_embeds, positions, segment_ids=None,
                  kv_caches=None, cache_index=None,
-                 cache_kv_segment_ids=None):
+                 cache_kv_segment_ids=None, deterministic=True):
         """Returns (hidden_states post-final-norm, new_kv_caches)."""
         x = inputs_embeds.astype(self.dtype)
         new_caches = []
@@ -230,7 +245,7 @@ class LlamaModel(nn.Module):
                 cfg=self.cfg, dtype=self.dtype,
                 param_dtype=self.param_dtype, name=f"layers_{i}")(
                     x, positions, segment_ids, cache, cache_index,
-                    cache_kv_segment_ids)
+                    cache_kv_segment_ids, deterministic)
             new_caches.append(new_cache)
         x = RMSNorm(eps=self.cfg.rms_norm_eps, param_dtype=self.param_dtype,
                     name="norm")(x)
@@ -260,11 +275,11 @@ class LlamaForCausalLM(nn.Module):
 
     def __call__(self, inputs_embeds, positions, segment_ids=None,
                  kv_caches=None, cache_index=None,
-                 cache_kv_segment_ids=None):
+                 cache_kv_segment_ids=None, deterministic=True):
         """Returns (logits, hidden post-norm, new kv caches)."""
         hidden, new_caches = self.model(inputs_embeds, positions,
                                         segment_ids, kv_caches, cache_index,
-                                        cache_kv_segment_ids)
+                                        cache_kv_segment_ids, deterministic)
         logits = self.lm_head(hidden)
         return logits, hidden, new_caches
 

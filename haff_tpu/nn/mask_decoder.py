@@ -63,14 +63,18 @@ class MaskDecoder(nn.Module):
         h, w = image_embeddings.shape[1:3]
         src_img = src_out.reshape(b, h, w, d)
         # Upscaling: ConvT(d->d/4, 2x) -> LN2d -> GELU -> ConvT(d/4->d/8, 2x) -> GELU
+        # transpose_kernel=True reproduces torch ConvTranspose2d exactly
+        # (verified numerically; kernel layout (kh, kw, out, in)).
         x = nn.ConvTranspose(d // 4, (2, 2), strides=(2, 2), dtype=self.dtype,
                              param_dtype=self.param_dtype,
+                             transpose_kernel=True,
                              name="upscale_conv1")(src_img)
         x = ChannelLayerNorm(param_dtype=self.param_dtype,
                              name="upscale_ln")(x)
         x = nn.gelu(x)
         x = nn.ConvTranspose(d // 8, (2, 2), strides=(2, 2), dtype=self.dtype,
                              param_dtype=self.param_dtype,
+                             transpose_kernel=True,
                              name="upscale_conv2")(x)
         upscaled = nn.gelu(x)  # (B, 4h, 4w, d/8)
 

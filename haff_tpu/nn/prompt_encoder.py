@@ -128,6 +128,11 @@ class PromptEncoder(nn.Module):
 
     def __call__(self, points=None, boxes=None, masks=None, text_embeds=None):
         """Returns (sparse (B, N, d), dense (B, h, w, d))."""
+        if self.is_initializing() and masks is None:
+            # flax creates params lazily; make sure the mask-downscaling
+            # convs exist even when the init call uses no mask prompt.
+            h, w = self.image_embedding_size
+            self._embed_masks(jnp.zeros((1, 4 * h, 4 * w, 1), self.dtype))
         bs = None
         sparse_parts = []
         if points is not None:

@@ -1,0 +1,54 @@
+"""Orbax checkpointing with auto-resume.
+
+Capability parity with reference train_ds.py:396-412 (auto-resume from
+log_dir/ckpt_model, epoch recovered from the step counter) and
+train_ds.py:470-486 (save-on-best-IoU, replacing the previous
+checkpoint). Orbax writes sharded arrays natively — the multi-host
+gather DeepSpeed needs is unnecessary."""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Optional, Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def _manager(ckpt_dir: str, max_to_keep: int = 1) -> ocp.CheckpointManager:
+    return ocp.CheckpointManager(
+        os.path.abspath(ckpt_dir),
+        options=ocp.CheckpointManagerOptions(max_to_keep=max_to_keep,
+                                             create=True))
+
+
+def save_checkpoint(ckpt_dir: str, step: int, state: Any,
+                    metrics: Optional[dict] = None,
+                    max_to_keep: int = 1) -> None:
+    mgr = _manager(ckpt_dir, max_to_keep)
+    mgr.save(step, args=ocp.args.StandardSave(state),
+             metrics=metrics or {})
+    mgr.wait_until_finished()
+    mgr.close()
+
+
+def latest_step(ckpt_dir: str) -> Optional[int]:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    mgr = _manager(ckpt_dir)
+    step = mgr.latest_step()
+    mgr.close()
+    return step
+
+
+def restore_checkpoint(ckpt_dir: str, target: Any) -> Tuple[Any, Optional[int]]:
+    """Auto-resume: restore the latest checkpoint into `target`'s
+    structure; returns (state, step) or (target, None) if none exists."""
+    step = latest_step(ckpt_dir)
+    if step is None:
+        return target, None
+    mgr = _manager(ckpt_dir)
+    state = mgr.restore(step, args=ocp.args.StandardRestore(target))
+    mgr.close()
+    return state, step

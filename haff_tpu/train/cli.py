@@ -1,0 +1,266 @@
+"""Training CLI — the train_ds.py analog.
+
+Capability parity with reference 2Haff/train_ds.py: flag surface
+(SURVEY.md section 5.6), tokenizer + [SEG] token, LoRA config, dataset
+selection (local shards or HF hub), per-epoch validation against the
+benchmark dir with IoU/IoCM, best-IoU checkpointing with auto-resume,
+meters + TensorBoard scalars.
+
+TPU-first: one jitted train step over a jax.sharding mesh (DP/FSDP/TP via
+parallel/sharding.py — the DeepSpeed ZeRO-2/NCCL replacement), optax
+AdamW + WarmupDecayLR, optax.MultiSteps grad accumulation, jax.checkpoint
+rematerialization, background-thread batch prefetch.
+
+Usage: python -m haff_tpu.train.cli --dataset_dir D [--val_benchmark_dir B]
+       [--model_preset tiny|1b|7b|13b] [--lora_r 8] [--epochs 10]
+       [--steps_per_epoch 500] [--batch_size 2] [--grad_accum 10]
+       [--lr 3e-4] [--log_dir runs/haff] [--auto_resume] ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import time
+
+import numpy as np
+
+
+def parse_args(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    # model
+    p.add_argument("--model_preset", default="7b")
+    p.add_argument("--tokenizer", default=None)
+    p.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
+    p.add_argument("--image_size", type=int, default=1024)
+    p.add_argument("--model_max_length", type=int, default=320)
+    # lora
+    p.add_argument("--lora_r", type=int, default=8)
+    p.add_argument("--lora_alpha", type=float, default=16)
+    p.add_argument("--lora_dropout", type=float, default=0.05)
+    # data
+    p.add_argument("--dataset_dir", required=True,
+                   help="2HANDS shards dir or HF repo id")
+    p.add_argument("--val_benchmark_dir", default=None)
+    p.add_argument("--samples_per_epoch", type=int, default=10000)
+    # optimization (reference defaults: train_ds.py:34-122)
+    p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--steps_per_epoch", type=int, default=500)
+    p.add_argument("--batch_size", type=int, default=2)
+    p.add_argument("--grad_accum", type=int, default=10)
+    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--beta1", type=float, default=0.9)
+    p.add_argument("--beta2", type=float, default=0.95)
+    p.add_argument("--warmup_steps", type=int, default=100)
+    p.add_argument("--grad_clip", type=float, default=1.0)
+    p.add_argument("--ce_loss_weight", type=float, default=1.0)
+    p.add_argument("--dice_loss_weight", type=float, default=0.5)
+    p.add_argument("--bce_loss_weight", type=float, default=2.0)
+    p.add_argument("--no_remat", action="store_true")
+    # mesh
+    p.add_argument("--fsdp", type=int, default=1)
+    p.add_argument("--tensor", type=int, default=1)
+    # logging / ckpt
+    p.add_argument("--exp_name", default="haff_tpu")
+    p.add_argument("--log_base_dir", default="./runs")
+    p.add_argument("--auto_resume", action="store_true", default=True)
+    p.add_argument("--no_auto_resume", dest="auto_resume",
+                   action="store_false")
+    p.add_argument("--use_wandb", action="store_true")
+    p.add_argument("--print_freq", type=int, default=10)
+    p.add_argument("--seed", type=int, default=42)
+    return p.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_args(argv)
+
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+
+    from ..core.config import MeshConfig, ModelConfig, TrainConfig
+    from ..core.mesh import build_mesh, maybe_initialize_distributed
+    from ..data.aff_dataset import AffDataset, AffDatasetVal
+    from ..data.collate import collate_affordance
+    from ..data.loader import PrefetchLoader
+    from ..data.tokenizer import load_tokenizer, seg_token_idx
+    from ..eval.metrics import iocm_batch, iou_batch
+    from ..model.lisa import LisaModel, TrainBatch
+    from ..parallel.sharding import param_shardings, shard_batch_tree
+    from .checkpoints import restore_checkpoint, save_checkpoint
+    from .metrics import AverageMeter, MetricsLogger, ProgressMeter
+    from .trainer import (
+        count_params,
+        init_train_state,
+        make_train_step,
+        merge_params,
+        partition_params,
+    )
+
+    maybe_initialize_distributed()
+    log_dir = os.path.join(args.log_base_dir, args.exp_name)
+    ckpt_dir = os.path.join(log_dir, "ckpt_model")
+    os.makedirs(log_dir, exist_ok=True)
+
+    tok = load_tokenizer(args.tokenizer,
+                         model_max_length=args.model_max_length)
+    base = ModelConfig.preset(args.model_preset)
+    cfg = base.replace(
+        seg_token_idx=seg_token_idx(tok),
+        ce_loss_weight=args.ce_loss_weight,
+        dice_loss_weight=args.dice_loss_weight,
+        bce_loss_weight=args.bce_loss_weight,
+        llama=dataclasses.replace(
+            base.llama, lora_rank=args.lora_r, lora_alpha=args.lora_alpha,
+            lora_dropout=args.lora_dropout,
+            vocab_size=max(base.llama.vocab_size, len(tok) + 4)),
+    )
+    tcfg = TrainConfig(
+        model=cfg, lr=args.lr, beta1=args.beta1, beta2=args.beta2,
+        warmup_steps=args.warmup_steps,
+        total_steps=args.epochs * args.steps_per_epoch,
+        epochs=args.epochs, steps_per_epoch=args.steps_per_epoch,
+        batch_size=args.batch_size,
+        grad_accumulation_steps=args.grad_accum,
+        grad_clip_norm=args.grad_clip, seed=args.seed)
+
+    mesh = build_mesh(MeshConfig(data=-1, fsdp=args.fsdp,
+                                 tensor=args.tensor))
+    dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
+    model = LisaModel(cfg=cfg, dtype=dtype, remat=not args.no_remat)
+
+    ds = AffDataset(args.dataset_dir,
+                    samples_per_epoch=args.samples_per_epoch,
+                    seed=args.seed)
+    print(f"dataset size: {ds.size}; samples/epoch "
+          f"{args.samples_per_epoch}")
+
+    def make_batch(_):
+        samples = [ds[0] for _ in range(args.batch_size)]
+        return collate_affordance(
+            samples, tok, sam_image_size=cfg.sam_encoder.image_size,
+            clip_image_size=cfg.clip.image_size,
+            max_text_len=args.model_max_length)
+
+    # --- init / shard params ---
+    probe = make_batch(0)
+    tb0 = TrainBatch(**{k: jnp.asarray(v) for k, v in probe.items()
+                        if k != "resizes"})
+    variables = jax.jit(model.init)(jax.random.PRNGKey(args.seed), tb0)
+    boxed = variables["params"]
+    shardings = param_shardings(mesh, boxed)
+    params = nn.unbox(boxed)
+    params = jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, s), params, shardings)
+    trainable, frozen = partition_params(params)
+    print(f"trainable params: {count_params(trainable):,} / "
+          f"{count_params(trainable) + count_params(frozen):,}")
+
+    state = init_train_state(tcfg, trainable)
+    start_epoch = 0
+    if args.auto_resume:
+        state, step = restore_checkpoint(ckpt_dir, state)
+        if step is not None:
+            start_epoch = int(step) // (args.steps_per_epoch
+                                        * args.grad_accum)
+            print(f"auto-resumed from step {step} (epoch {start_epoch})")
+
+    step_fn = jax.jit(make_train_step(model, tcfg))
+    logger = MetricsLogger(log_dir, use_wandb=args.use_wandb,
+                           exp_name=args.exp_name)
+    rng = jax.random.PRNGKey(args.seed)
+
+    val_ds = AffDatasetVal(args.val_benchmark_dir) \
+        if args.val_benchmark_dir else None
+    best_iou = -1.0
+
+    micro_per_epoch = args.steps_per_epoch * args.grad_accum
+    with mesh:
+        for epoch in range(start_epoch, args.epochs):
+            meters = {k: AverageMeter(k) for k in
+                      ("loss", "ce_loss", "mask_bce_loss",
+                       "mask_dice_loss", "taxonomy_ce_loss")}
+            time_meter = AverageMeter("secs/batch")
+            loader = PrefetchLoader(make_batch, micro_per_epoch)
+            t0 = time.time()
+            for i, raw in enumerate(loader):
+                batch = TrainBatch(**{k: jnp.asarray(v)
+                                      for k, v in raw.items()
+                                      if k != "resizes"})
+                batch = shard_batch_tree(mesh, batch)
+                state, metrics = step_fn(state, frozen, batch, rng)
+                if (i + 1) % args.print_freq == 0:
+                    for k, m in meters.items():
+                        m.update(float(metrics[k]))
+                    time_meter.update((time.time() - t0)
+                                      / args.print_freq)
+                    t0 = time.time()
+                    ProgressMeter(
+                        micro_per_epoch,
+                        list(meters.values()) + [time_meter],
+                        prefix=f"Epoch {epoch} ").display(i + 1)
+                    logger.log({k: m.val for k, m in meters.items()},
+                               int(state.step))
+
+            # --- validation (reference validate(), train_ds.py:625-758) ---
+            if val_ds is not None and len(val_ds):
+                from ..infer.evaluate import make_jitted_evaluate
+                from ..nn.sam import resize_to_original
+
+                merged = merge_params(state.trainable, frozen)
+                ev = make_jitted_evaluate(model, max_new_tokens=32,
+                                          eos_id=tok.eos_token_id)
+                ious, iocms = [], []
+                for vi in range(len(val_ds)):
+                    sample, _ = val_ds[vi]
+                    vb = collate_affordance(
+                        [sample], tok,
+                        sam_image_size=cfg.sam_encoder.image_size,
+                        clip_image_size=cfg.clip.image_size,
+                        max_text_len=args.model_max_length,
+                        for_training=False)
+                    res = ev({"params": merged},
+                             jnp.asarray(vb["images_sam"]),
+                             jnp.asarray(vb["images_clip"]),
+                             jnp.asarray(vb["input_ids"]),
+                             jnp.asarray(vb["attention_mask"]))
+                    # taxonomy-argmax mask selection + union IoU
+                    from ..eval.metrics import union_metrics
+
+                    rh, rw = vb["resizes"][0]
+                    orig = sample.image.shape[:2]
+                    ml = resize_to_original(
+                        np.asarray(res.pred_masks_left), (rh, rw), orig)[0]
+                    mr = resize_to_original(
+                        np.asarray(res.pred_masks_right), (rh, rw), orig)[0]
+                    tax = int(np.argmax(np.asarray(res.taxonomies)[0]))
+                    pl_ = (ml > 0).astype(np.uint8)
+                    pr_ = (mr > 0).astype(np.uint8)
+                    if tax == 0:
+                        pr_[:] = 0
+                    elif tax == 1:
+                        pl_[:] = 0
+                    m = union_metrics(pl_, pr_, sample.mask_left,
+                                      sample.mask_right)
+                    ious.append(m["iou"])
+                    iocms.append(m["iocm"])
+                val_iou = float(np.mean(ious))
+                val_iocm = float(np.mean(iocms))
+                print(f"Epoch {epoch}: val IoU {val_iou:.4f} "
+                      f"IoCM {val_iocm:.4f}")
+                logger.log(dict(val_iou=val_iou, val_precision=val_iocm),
+                           int(state.step))
+                if val_iou > best_iou:
+                    best_iou = val_iou
+                    save_checkpoint(ckpt_dir, int(state.step), state,
+                                    metrics=dict(iou=val_iou))
+                    print(f"saved best checkpoint (IoU {val_iou:.4f})")
+            else:
+                save_checkpoint(ckpt_dir, int(state.step), state)
+    logger.close()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,134 @@
+"""Training loop: optax AdamW + warmup-decay, LoRA/freeze masking,
+gradient accumulation, one jitted train step.
+
+Capability parity with reference train_ds.py:
+  * trainable set == the reference's (train_ds.py:192-244): LoRA a/b on
+    q/v, embed_tokens, lm_head, both mask decoders, text projection
+    ([SEG] MLP); everything else frozen.
+  * WarmupDecayLR: linear warmup over warmup_steps then linear decay to 0
+    (train_ds.py:356-371).
+  * grad accumulation via optax.MultiSteps (train_ds.py:85-88).
+  * AdamW betas/weight-decay surface, grad clip 1.0 (train_ds.py:344-380).
+
+TPU-first: gradients are taken ONLY w.r.t. the trainable partition (the
+frozen tree is a closed-over operand — no wasted optimizer state, the
+ZeRO-style sharding of optimizer state falls out of the param shardings).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict, NamedTuple, Tuple
+
+import flax
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import optax
+from flax import traverse_util
+
+from ..core.config import TrainConfig
+from ..model.lisa import LisaModel, TrainBatch
+
+TRAINABLE_KEYS = ("lora_a", "lora_b", "embed_tokens", "lm_head",
+                  "mask_decoder_left", "mask_decoder_right", "text_fc1",
+                  "text_fc2")
+
+
+def trainable_mask_path(path: Tuple[str, ...]) -> bool:
+    """Reference freezing semantics (train_ds.py:192-244)."""
+    return any(k in path for k in TRAINABLE_KEYS)
+
+
+def partition_params(params: Dict) -> Tuple[Dict, Dict]:
+    """params (unboxed dict) -> (trainable, frozen) with identical tree
+    structure positions (missing branches pruned)."""
+    flat = traverse_util.flatten_dict(params)
+    train = {k: v for k, v in flat.items() if trainable_mask_path(k)}
+    frozen = {k: v for k, v in flat.items() if not trainable_mask_path(k)}
+    return (traverse_util.unflatten_dict(train),
+            traverse_util.unflatten_dict(frozen))
+
+
+def merge_params(trainable: Dict, frozen: Dict) -> Dict:
+    flat = dict(traverse_util.flatten_dict(frozen))
+    flat.update(traverse_util.flatten_dict(trainable))
+    return traverse_util.unflatten_dict(flat)
+
+
+def count_params(tree) -> int:
+    return sum(int(x.size) for x in jax.tree_util.tree_leaves(tree))
+
+
+def make_schedule(cfg: TrainConfig):
+    """WarmupDecayLR: 0 -> lr over warmup_steps, then linear -> 0."""
+    return optax.join_schedules(
+        [optax.linear_schedule(0.0, cfg.lr, cfg.warmup_steps),
+         optax.linear_schedule(
+             cfg.lr, 0.0, max(cfg.total_steps - cfg.warmup_steps, 1))],
+        [cfg.warmup_steps])
+
+
+def make_optimizer(cfg: TrainConfig):
+    tx = optax.chain(
+        optax.clip_by_global_norm(cfg.grad_clip_norm),
+        optax.adamw(make_schedule(cfg), b1=cfg.beta1, b2=cfg.beta2,
+                    weight_decay=cfg.weight_decay),
+    )
+    if cfg.grad_accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, cfg.grad_accumulation_steps)
+    return tx
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    trainable: Any
+    opt_state: Any
+
+
+def init_train_state(cfg: TrainConfig, trainable) -> TrainState:
+    tx = make_optimizer(cfg)
+    return TrainState(step=jnp.zeros((), jnp.int32), trainable=trainable,
+                      opt_state=tx.init(trainable))
+
+
+def make_train_step(model: LisaModel, cfg: TrainConfig
+                    ) -> Callable:
+    """Returns step(state, frozen, batch, rng) -> (state, metrics).
+    Jit/pjit-compatible; batch is a TrainBatch of device arrays."""
+    tx = make_optimizer(cfg)
+
+    def loss_fn(trainable, frozen, batch, rng):
+        params = merge_params(trainable, frozen)
+        out = model.apply({"params": params}, batch, deterministic=False,
+                          rngs={"dropout": rng})
+        return out.loss, out
+
+    def step(state: TrainState, frozen, batch: TrainBatch, rng):
+        rng = jax.random.fold_in(rng, state.step)
+        (loss, out), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.trainable, frozen, batch, rng)
+        updates, opt_state = tx.update(grads, state.opt_state,
+                                       state.trainable)
+        trainable = optax.apply_updates(state.trainable, updates)
+        metrics = dict(
+            loss=loss, ce_loss=out.ce_loss,
+            mask_bce_loss=out.mask_bce_loss,
+            mask_dice_loss=out.mask_dice_loss,
+            taxonomy_ce_loss=out.taxonomy_ce_loss,
+            grad_norm=optax.global_norm(grads))
+        return TrainState(step=state.step + 1, trainable=trainable,
+                          opt_state=opt_state), metrics
+
+    return step
+
+
+def make_eval_step(model: LisaModel) -> Callable:
+    """Validation forward (no grad): returns per-sample canvas masks,
+    taxonomy and losses — the train-time validate() analog
+    (train_ds.py:625-758)."""
+
+    def step(trainable, frozen, batch: TrainBatch):
+        params = merge_params(trainable, frozen)
+        return model.apply({"params": params}, batch)
+
+    return step

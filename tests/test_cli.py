@@ -1,0 +1,94 @@
+"""End-to-end CLI smoke tests on the tiny preset (synthetic data)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture
+def synth_data(tmp_path):
+    """Synthetic shards + benchmark folder."""
+    import cv2
+    import h5py
+
+    # --- training shards ---
+    droot = tmp_path / "shards"
+    (droot / "h5").mkdir(parents=True)
+    (droot / "jsons").mkdir()
+    n = 4
+    with h5py.File(droot / "h5" / "0-3_P01.h5", "w") as f:
+        g = f.create_group("data")
+        g.create_dataset("inpainted",
+                         data=np.random.RandomState(0).randint(
+                             0, 255, (n, 64, 80, 3), np.uint8))
+        g.create_dataset("narration",
+                         data=np.array([b"open drawer"] * n))
+        tax = np.zeros((n, 4), np.float32)
+        tax[:, 1] = 1
+        g.create_dataset("taxonomy", data=tax)
+    entries = {
+        str(i): {"original_size": [64, 80],
+                 "aff_left": [],
+                 "aff_right": [[[[30, 20]], [[30, 40]], [[50, 40]],
+                                [[50, 20]]]]}
+        for i in range(n)}
+    (droot / "jsons" / "0-3_P01.json").write_text(json.dumps(entries))
+
+    # --- benchmark dir ---
+    broot = tmp_path / "bench"
+    fdir = broot / "P01_101" / "0000123"
+    fdir.mkdir(parents=True)
+    img = (np.random.RandomState(1).rand(64, 80, 3) * 255).astype(np.uint8)
+    cv2.imwrite(str(fdir / "inpainting.png"), img)
+    gt = np.zeros((64, 80), np.uint8)
+    gt[20:40, 30:50] = 255
+    cv2.imwrite(str(fdir / "aff_right.png"), gt)
+    (fdir / "annotation.json").write_text(
+        json.dumps({"narration": "open drawer", "taxonomy": [0, 1, 0, 0]}))
+    return str(droot), str(broot)
+
+
+def test_train_cli_micro_run(synth_data, tmp_path):
+    from haff_tpu.train.cli import main
+
+    shards, bench = synth_data
+    main([
+        "--dataset_dir", shards, "--val_benchmark_dir", bench,
+        "--model_preset", "tiny", "--epochs", "1", "--steps_per_epoch",
+        "2", "--batch_size", "2", "--grad_accum", "1", "--lr", "1e-3",
+        "--warmup_steps", "0", "--model_max_length", "448",
+        "--log_base_dir", str(tmp_path / "runs"), "--exp_name", "t",
+        "--print_freq", "1", "--no_remat",
+    ])
+    ckpt = tmp_path / "runs" / "t" / "ckpt_model"
+    assert ckpt.is_dir() and any(ckpt.iterdir())
+
+
+def test_infer_cli_and_benchmark_eval(synth_data, tmp_path):
+    from haff_tpu.eval.benchmark import main as eval_main
+    from haff_tpu.infer.cli import main as infer_main
+
+    _, bench = synth_data
+    vis = str(tmp_path / "vis")
+    infer_main([
+        "--benchmark_dir", bench, "--vis_save_path", vis,
+        "--model_preset", "tiny", "--batch", "2", "--max_new_tokens", "4",
+        "--max_text_len", "448", "--precision", "fp32",
+        "--thresholds", "0.3", "0.5",
+    ])
+    out = tmp_path / "vis0.5" / "P01_101" / "0000123"
+    assert (out / "aff_left.png").exists()
+    assert (out / "aff_right.png").exists()
+
+    # benchmark evaluator over the produced folder (map mode)
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        eval_main(["--benchmark_dir", bench, "--comparison_dir", vis,
+                   "--map", "--thresholds", "0.3", "0.5"])
+    result = json.loads(buf.getvalue())
+    assert "map_iou" in result and "0.5" in map(str, result["per_threshold"])
