@@ -1,0 +1,89 @@
+"""Single-frame predictor shared by chat / robot / app entry points.
+
+Wraps model build + jitted evaluate into a call:
+    predictor(image_rgb_uint8, text_prompt) ->
+        (answer_text, mask_left_logits, mask_right_logits, taxonomy)
+with masks at the frame's original resolution (reference: the common
+core of chat.py:154-269, robot_demo.py:178-336, app.py:206-331).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+class Predictor:
+    def __init__(self, model_preset: str = "7b",
+                 checkpoint: Optional[str] = None,
+                 tokenizer: Optional[str] = None, precision: str = "bf16",
+                 max_new_tokens: int = 32, max_text_len: int = 320):
+        import jax
+        import jax.numpy as jnp
+
+        from ..core.config import ModelConfig
+        from ..data.collate import collate_affordance
+        from ..data.tokenizer import load_tokenizer, seg_token_idx
+        from ..model.lisa import LisaModel, TrainBatch
+        from .evaluate import make_jitted_evaluate
+
+        self._collate = collate_affordance
+        self.tok = load_tokenizer(tokenizer, model_max_length=max_text_len)
+        self.cfg = ModelConfig.preset(model_preset).replace(
+            seg_token_idx=seg_token_idx(self.tok))
+        self.max_text_len = max_text_len
+        dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
+        self.model = LisaModel(cfg=self.cfg, dtype=dtype)
+
+        import jax.numpy as jnp  # noqa: F811
+
+        dummy = np.zeros((32, 32, 3), np.uint8)
+        from ..data.collate import Sample
+
+        b0 = collate_affordance(
+            [Sample(image=dummy, question="<image>\nx", answer=None)],
+            self.tok, sam_image_size=self.cfg.sam_encoder.image_size,
+            clip_image_size=self.cfg.clip.image_size,
+            max_text_len=max_text_len, for_training=False)
+        tb0 = TrainBatch(**{k: jnp.asarray(v) for k, v in b0.items()
+                            if k != "resizes"})
+        self.params = jax.jit(self.model.init)(jax.random.PRNGKey(0), tb0)
+        if checkpoint:
+            from ..train.checkpoints import restore_checkpoint
+
+            self.params, _ = restore_checkpoint(checkpoint, self.params)
+        self._eval = make_jitted_evaluate(
+            self.model, max_new_tokens=max_new_tokens,
+            eos_id=self.tok.eos_token_id)
+
+    def __call__(self, image: np.ndarray, prompt: str
+                 ) -> Tuple[str, np.ndarray, np.ndarray, np.ndarray]:
+        import jax.numpy as jnp
+
+        from ..data.collate import Sample
+        from ..nn.sam import resize_to_original
+
+        question = prompt if "<image>" in prompt else ("<image>\n" + prompt)
+        batch = self._collate(
+            [Sample(image=image, question=question, answer=None)],
+            self.tok, sam_image_size=self.cfg.sam_encoder.image_size,
+            clip_image_size=self.cfg.clip.image_size,
+            max_text_len=self.max_text_len, for_training=False)
+        res = self._eval(self.params,
+                         jnp.asarray(batch["images_sam"]),
+                         jnp.asarray(batch["images_clip"]),
+                         jnp.asarray(batch["input_ids"]),
+                         jnp.asarray(batch["attention_mask"]))
+        text = self.tok.decode(
+            [t for t in np.asarray(res.output_ids)[0]
+             [:int(res.gen_lengths[0])] if t >= 0])
+        rh, rw = batch["resizes"][0]
+        orig = image.shape[:2]
+        ml = resize_to_original(
+            np.asarray(res.pred_masks_left, np.float32)[0:1],
+            (rh, rw), orig)[0]
+        mr = resize_to_original(
+            np.asarray(res.pred_masks_right, np.float32)[0:1],
+            (rh, rw), orig)[0]
+        return text, ml, mr, np.asarray(res.taxonomies)[0]

@@ -1,0 +1,235 @@
+"""2HANDS pipeline orchestration + dataset packing.
+
+Capability parity with reference 2HANDS/pipeline.bash + scripts/** — the
+offline producer that turns egocentric video into the h5+json training
+shards AffDataset consumes:
+
+  stage 1  frame acquisition            (caller-provided frames)
+  stage 2  hand/object mask propagation (pluggable; reference: XMem_Batch
+           submodule seeded from VISOR annotations)
+  stage 3  dilate + recolor             (pipeline/ops.py, on device)
+  stage 4  hand inpainting              (pluggable; reference:
+           agent_inpainting submodule)
+  stage 5  object mask completion       (built-in: OUR prompted SAM with
+           a point prompt at the hand-mask centroid — replaces the sam2
+           submodule; or pluggable)
+  stage 6  affordance = hand AND completed object (ops.extract_affordance)
+  stage 7  square padding               (ops.pad_to_square)
+  stages 8-10  setup/filter/taxonomy    (this module)
+  stage 11 augmentation                 (ops: flip/crop/jitter)
+  stage 12 packing to h5 + json contour shards (this module; format
+           identical to reference create_dataset.py:116-238 +
+           compress_masks_to_json.py:60-92)
+
+External heavy models (video object segmentation, video inpainting) stay
+pluggable callables — the reference keeps them as non-vendored git
+submodules too (.gitmodules), so parity is the interface + everything
+around it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from . import ops
+
+
+def mask_to_contours(mask: np.ndarray) -> List:
+    """Binary mask -> nested cv2 contour lists (reference
+    utils/compress_masks_to_json.py:60-92 json format)."""
+    import cv2
+
+    contours, _ = cv2.findContours(
+        (np.asarray(mask) > 0).astype(np.uint8), cv2.RETR_EXTERNAL,
+        cv2.CHAIN_APPROX_SIMPLE)
+    return [c.tolist() for c in contours]
+
+
+def expand_taxonomy(tax3: Sequence[float], has_left: bool,
+                    has_right: bool) -> List[float]:
+    """3-dim [unimanual, bi-symmetric, bi-asymmetric] -> 4-dim
+    [left, right, bi-sym, bi-asym] by splitting unimanual on which hand's
+    files exist (reference data_setup/update_taxonomy.py:24-39)."""
+    uni, sym, asym = [float(x) for x in tax3]
+    left = uni if has_left and not has_right else 0.0
+    right = uni if has_right and not has_left else 0.0
+    return [left, right, sym, asym]
+
+
+@dataclass
+class FrameRecord:
+    """One packed frame (reference per-frame folder layout,
+    data_setup/setup_dataset.py:5-64)."""
+
+    inpainted: np.ndarray            # (H, W, 3) uint8
+    narration: str
+    taxonomy: Sequence[float]        # 4-dim
+    aff_left: Optional[np.ndarray] = None    # (H, W) binary
+    aff_right: Optional[np.ndarray] = None
+    obj_left: Optional[np.ndarray] = None
+    obj_right: Optional[np.ndarray] = None
+    noun: str = ""
+    verb: str = ""
+    obj_id_left: int = -1
+    obj_id_right: int = -1
+
+
+def filter_record(rec: FrameRecord, min_area: int = 20,
+                  max_area: int = 30000) -> bool:
+    """Reference filter gates (filter_dataset.py:40-117 +
+    create_dataset.py:28-114): narration/verb present and affordance-
+    bearing, at least one hand mask with in-range area."""
+    if not ops.narration_ok(rec.narration, rec.verb or None):
+        return False
+    any_ok = False
+    for m in (rec.aff_left, rec.aff_right):
+        if m is not None and np.count_nonzero(m):
+            if not ops.mask_area_ok(m, min_area, max_area):
+                return False
+            any_ok = True
+    return any_ok
+
+
+def pack_shard(records: Sequence[FrameRecord], out_dir: str,
+               start_index: int = 0, shard_name: str = "P00") -> Tuple[str, str]:
+    """Write one h5 + json shard pair in the exact reference layout:
+    h5 'data/{inpainted, taxonomy, noun, verb, narration, obj_id_left,
+    obj_id_right}', json '{idx: {original_size, aff_left, aff_right,
+    obj_left, obj_right}}', filenames 'start-end_<name>.{h5,json}'
+    (reference create_dataset.py:116-238, rename_dataset.py:4-33)."""
+    import h5py
+
+    os.makedirs(os.path.join(out_dir, "h5"), exist_ok=True)
+    os.makedirs(os.path.join(out_dir, "jsons"), exist_ok=True)
+    end_index = start_index + len(records) - 1
+    stem = f"{start_index}-{end_index}_{shard_name}"
+    h5_path = os.path.join(out_dir, "h5", stem + ".h5")
+    json_path = os.path.join(out_dir, "jsons", stem + ".json")
+
+    with h5py.File(h5_path, "w") as f:
+        g = f.create_group("data")
+        g.create_dataset(
+            "inpainted",
+            data=np.stack([r.inpainted for r in records]).astype(np.uint8))
+        g.create_dataset(
+            "taxonomy",
+            data=np.stack([np.asarray(r.taxonomy, np.float32)
+                           for r in records]))
+        str_dt = h5py.string_dtype()
+        g.create_dataset("narration",
+                         data=[r.narration for r in records], dtype=str_dt)
+        g.create_dataset("noun", data=[r.noun for r in records],
+                         dtype=str_dt)
+        g.create_dataset("verb", data=[r.verb for r in records],
+                         dtype=str_dt)
+        g.create_dataset(
+            "obj_id_left",
+            data=np.asarray([r.obj_id_left for r in records], np.int32))
+        g.create_dataset(
+            "obj_id_right",
+            data=np.asarray([r.obj_id_right for r in records], np.int32))
+
+    entries = {}
+    for i, r in enumerate(records):
+        entries[str(start_index + i)] = {
+            "original_size": list(r.inpainted.shape[:2]),
+            "aff_left": mask_to_contours(r.aff_left)
+            if r.aff_left is not None else [],
+            "aff_right": mask_to_contours(r.aff_right)
+            if r.aff_right is not None else [],
+            "obj_left": mask_to_contours(r.obj_left)
+            if r.obj_left is not None else [],
+            "obj_right": mask_to_contours(r.obj_right)
+            if r.obj_right is not None else [],
+        }
+    with open(json_path, "w") as f:
+        json.dump(entries, f)
+    return h5_path, json_path
+
+
+# ---------------------------------------------------------------------------
+# Mask completion with our own SAM (replaces the sam2 submodule stage)
+# ---------------------------------------------------------------------------
+
+def sam_mask_completion(sam_apply: Callable, images: np.ndarray,
+                        partial_masks: np.ndarray) -> np.ndarray:
+    """Complete occluded object masks on inpainted frames by prompting
+    SAM with the partial mask's centroid (reference stage 5 uses the sam2
+    submodule; here the in-framework prompted SAM serves).
+
+    sam_apply(images (B,S,S,3) preprocessed, points (B,1,2), labels
+    (B,1)) -> mask logits (B,1,S,S)."""
+    b = partial_masks.shape[0]
+    pts = np.zeros((b, 1, 2), np.float32)
+    for i in range(b):
+        ys, xs = np.nonzero(partial_masks[i])
+        if len(xs):
+            pts[i, 0] = (xs.mean(), ys.mean())
+    labels = np.ones((b, 1), np.int32)
+    logits = sam_apply(images, pts, labels)
+    return (np.asarray(logits)[:, 0] > 0).astype(np.uint8)
+
+
+@dataclass
+class PipelineStages:
+    """Pluggable external stages (reference submodules)."""
+
+    propagate_masks: Optional[Callable] = None   # XMem analog
+    inpaint_hands: Optional[Callable] = None     # agent_inpainting analog
+    complete_masks: Optional[Callable] = None    # sam2 analog
+
+
+def run_pipeline(frames: np.ndarray, hand_masks_left: np.ndarray,
+                 hand_masks_right: np.ndarray, object_masks: np.ndarray,
+                 narrations: Sequence[str], taxonomies3: np.ndarray,
+                 out_dir: str, stages: PipelineStages = PipelineStages(),
+                 dilate_factor: int = 10, shard_name: str = "P00",
+                 shard_size: int = 512) -> List[Tuple[str, str]]:
+    """End-to-end pipeline.bash analog over in-memory frame arrays.
+
+    frames: (N, H, W, 3) uint8; hand/object masks: (N, H, W) binary;
+    taxonomies3: (N, 3). Returns list of (h5, json) shard paths."""
+    import jax.numpy as jnp
+
+    if stages.inpaint_hands is not None:
+        frames = np.asarray(stages.inpaint_hands(frames))
+
+    hands = ops.recolor_white(
+        ops.dilate_masks(jnp.asarray(
+            (hand_masks_left | hand_masks_right).astype(np.float32)),
+            dilate_factor))
+    objs = jnp.asarray(object_masks.astype(np.float32))
+    if stages.complete_masks is not None:
+        objs = jnp.asarray(
+            stages.complete_masks(frames, np.asarray(objs)).astype(
+                np.float32))
+    aff = np.asarray(ops.extract_affordance(hands, objs))
+
+    records: List[FrameRecord] = []
+    for i in range(frames.shape[0]):
+        left = (aff[i] * (hand_masks_left[i] > 0)).astype(np.uint8)
+        right = (aff[i] * (hand_masks_right[i] > 0)).astype(np.uint8)
+        tax4 = expand_taxonomy(taxonomies3[i],
+                               has_left=bool(left.any()),
+                               has_right=bool(right.any()))
+        rec = FrameRecord(
+            inpainted=frames[i], narration=str(narrations[i]),
+            taxonomy=tax4,
+            aff_left=left if left.any() else None,
+            aff_right=right if right.any() else None,
+            obj_left=np.asarray(objs[i], np.uint8),
+            obj_right=np.asarray(objs[i], np.uint8))
+        if filter_record(rec):
+            records.append(rec)
+
+    shards = []
+    for s in range(0, len(records), shard_size):
+        chunk = records[s:s + shard_size]
+        shards.append(pack_shard(chunk, out_dir, start_index=s,
+                                 shard_name=shard_name))
+    return shards

@@ -1,0 +1,124 @@
+"""Entry-point analogs: predictor, robot demo poll loop, eval tools,
+LoRA merge."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(scope="module")
+def predictor():
+    from haff_tpu.infer.predictor import Predictor
+
+    return Predictor(model_preset="tiny", precision="fp32",
+                     max_new_tokens=4, max_text_len=448)
+
+
+def test_predictor_contract(predictor):
+    img = (np.random.RandomState(0).rand(60, 90, 3) * 255).astype(np.uint8)
+    text, ml, mr, tax = predictor(img, "open the drawer")
+    assert ml.shape == (60, 90) and mr.shape == (60, 90)
+    assert tax.shape == (4,)
+    assert isinstance(text, str)
+
+
+def test_robot_demo_poll(predictor, tmp_path):
+    import cv2
+
+    from haff_tpu.infer.robot_demo import process_once
+
+    root = str(tmp_path / "robot")
+    os.makedirs(os.path.join(root, "in"))
+    img = (np.random.RandomState(1).rand(50, 70, 3) * 255).astype(np.uint8)
+    cv2.imwrite(os.path.join(root, "in", "img.png"), img)
+    with open(os.path.join(root, "in", "prompt.txt"), "w") as f:
+        f.write("grab the cup")
+
+    assert process_once(predictor, root, th=-5.0)
+    out = os.path.join(root, "out")
+    assert os.path.exists(os.path.join(out, "aff_left.png"))
+    assert os.path.exists(os.path.join(out, "aff_right.png"))
+    assert os.path.exists(os.path.join(out, "heatmap.png"))
+    # inputs consumed
+    assert not os.path.exists(os.path.join(root, "in", "img.png"))
+    # idle poll returns False
+    assert not process_once(predictor, root, th=-5.0)
+
+
+def test_eval_tools(tmp_path):
+    from haff_tpu.eval.tools import (
+        frames_to_benchmark,
+        gaussian_postprocess,
+        overlay_results,
+        restore_padding,
+    )
+
+    frames = [(np.random.RandomState(i).rand(40, 40, 3) * 255)
+              .astype(np.uint8) for i in range(3)]
+    n = frames_to_benchmark(frames, str(tmp_path), "cut onion", vid="v1")
+    assert n == 3
+    fdir = tmp_path / "v1" / "0000001"
+    assert (fdir / "inpainting.png").exists()
+    ann = json.loads((fdir / "annotation.json").read_text())
+    assert ann["narration"] == "cut onion"
+
+    m = np.zeros((40, 40), np.uint8)
+    m[10:30, 10:30] = 255
+    post = gaussian_postprocess(m, ksize=5)
+    assert post.max() == 255 and post[20, 20] == 255
+
+    restored = restore_padding(np.ones((10, 10), np.uint8) * 255,
+                               [5, 5, 25, 25], canvas=(50, 50))
+    assert restored.shape == (50, 50)
+    assert restored[10, 10] == 255 and restored[0, 0] == 0
+
+    ov = overlay_results(frames[0], m > 0, None)
+    assert ov.shape == frames[0].shape
+    assert (ov[15, 15, 0] > frames[0][15, 15, 0] * 0.5 - 1)
+
+
+def test_merge_lora_folds_adapters():
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from haff_tpu.core.config import LlamaConfig
+    from haff_tpu.nn.llama import LlamaForCausalLM
+    from haff_tpu.tools.merge_lora import merge_lora_params
+
+    import flax.linen as nn
+
+    cfg = dataclasses.replace(LlamaConfig.preset("tiny"), lora_rank=2,
+                              lora_dropout=0.0)
+    model = LlamaForCausalLM(cfg=cfg)
+    ids = jnp.zeros((1, 8), jnp.int32)
+    pos = jnp.arange(8)[None]
+    params = nn.unbox(model.init(jax.random.PRNGKey(0), ids, pos,
+                                 method="init_all")["params"])
+    # give the adapters nonzero values
+    from flax import traverse_util
+
+    flat = dict(traverse_util.flatten_dict(params))
+    for k in flat:
+        if k[-1] in ("lora_a", "lora_b"):
+            flat[k] = jnp.ones_like(flat[k]) * 0.01
+    params = traverse_util.unflatten_dict(flat)
+
+    emb = model.apply({"params": params}, ids, method="embed")
+    seg = jnp.ones((1, 8), jnp.int32)
+    logits_lora, _, _ = model.apply({"params": params}, emb, pos, seg)
+
+    merged = merge_lora_params(params, alpha=cfg.lora_alpha)
+    mflat = traverse_util.flatten_dict(merged)
+    assert not any(k[-1].startswith("lora_") for k in mflat)
+
+    # merged base weights + rank-0 model reproduce the LoRA model output
+    cfg0 = dataclasses.replace(cfg, lora_rank=0)
+    model0 = LlamaForCausalLM(cfg=cfg0)
+    logits_merged, _, _ = model0.apply({"params": merged}, emb, pos, seg)
+    np.testing.assert_allclose(np.asarray(logits_lora),
+                               np.asarray(logits_merged),
+                               rtol=2e-4, atol=2e-4)
