@@ -1,0 +1,99 @@
+"""ctypes bindings for the native host data-path (runtime/haff_host.cpp).
+
+Builds the shared library on first use (g++, no external deps) and falls
+back to the Python/cv2 implementations in transforms.py when a compiler
+is unavailable. The native path exists for production hosts where
+per-frame Python preprocessing starves the TPU (SURVEY.md section 2.8
+"hot transforms")."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional, Tuple
+
+import numpy as np
+
+_LIB = None
+_TRIED = False
+
+
+def _repo_root() -> str:
+    return os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+
+
+def load_library() -> Optional[ctypes.CDLL]:
+    global _LIB, _TRIED
+    if _LIB is not None or _TRIED:
+        return _LIB
+    _TRIED = True
+    src = os.path.join(_repo_root(), "runtime", "haff_host.cpp")
+    so = os.path.join(_repo_root(), "runtime", "libhaffhost.so")
+    try:
+        if (not os.path.exists(so)
+                or os.path.getmtime(so) < os.path.getmtime(src)):
+            subprocess.run(
+                ["g++", "-O3", "-fPIC", "-shared", src, "-o", so],
+                check=True, capture_output=True)
+        lib = ctypes.CDLL(so)
+        lib.sam_preprocess_f32.restype = ctypes.c_int
+        _LIB = lib
+    except Exception as e:  # no compiler / load failure -> Python path
+        print(f"native: falling back to Python path ({e})")
+        _LIB = None
+    return _LIB
+
+
+def available() -> bool:
+    return load_library() is not None
+
+
+def sam_preprocess_native(image: np.ndarray, image_size: int,
+                          mean, std) -> Tuple[np.ndarray, Tuple[int, int]]:
+    """Fused resize-longest-side + normalize + pad (C++)."""
+    lib = load_library()
+    assert lib is not None
+    img = np.ascontiguousarray(image, np.uint8)
+    h, w = img.shape[:2]
+    out = np.zeros((image_size, image_size, 3), np.float32)
+    mean = np.ascontiguousarray(mean, np.float32)
+    std = np.ascontiguousarray(std, np.float32)
+    packed = lib.sam_preprocess_f32(
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int(h), ctypes.c_int(w), ctypes.c_int(image_size),
+        mean.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        std.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out, (packed >> 16, packed & 0xFFFF)
+
+
+def mask_to_canvas_native(mask: np.ndarray, resize_hw: Tuple[int, int],
+                          image_size: int) -> np.ndarray:
+    lib = load_library()
+    assert lib is not None
+    m = np.ascontiguousarray(mask, np.uint8)
+    out = np.zeros((image_size, image_size), np.float32)
+    lib.mask_to_canvas_f32(
+        m.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int(m.shape[0]), ctypes.c_int(m.shape[1]),
+        ctypes.c_int(resize_hw[0]), ctypes.c_int(resize_hw[1]),
+        ctypes.c_int(image_size),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out
+
+
+def fill_polygon_native(points: np.ndarray, shape: Tuple[int, int]
+                        ) -> np.ndarray:
+    """Even-odd fill of one polygon (contour fallback when cv2 absent)."""
+    lib = load_library()
+    assert lib is not None
+    pts = np.ascontiguousarray(points.reshape(-1, 2), np.int32)
+    out = np.zeros(shape, np.uint8)
+    lib.fill_polygon_u8(
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        ctypes.c_int(pts.shape[0]), ctypes.c_int(shape[0]),
+        ctypes.c_int(shape[1]),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)))
+    return out

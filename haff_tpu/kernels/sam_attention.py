@@ -1,0 +1,240 @@
+"""Fused decomposed-rel-pos flash attention for SAM's global layers.
+
+The reference materializes the full (L, L) attention matrix plus a
+decomposed relative-position bias per head (reference:
+segment_anything/modeling/image_encoder.py:354-392) — at ViT-H's global
+layers L = 64*64 = 4096, that is ~1 GB of fp32 transients per image per
+layer. TPU-native reformulation:
+
+    bias[i, j] = r_q[i] . Rh[qh_i - kh_j]  +  r_q[i] . Rw[qw_i - kw_j]
+               = Bh[i, kh_j] + Bw[i, kw_j]
+
+where Bh = einsum(q, Rh) is only (L, H) and Bw = einsum(q, Rw) is (L, W)
+— a few MB. With k-blocks aligned to image rows (block_k == W), kh_j is
+CONSTANT within a k-step and kw_j enumerates 0..W-1, so the bias tile is
+a broadcast add of one Bh column and the Bw tile: no gathers, no (L, L)
+materialization, flash-attention memory profile.
+
+The backward runs as a k-row-banded XLA scan (same O(L*W) working set).
+Gradients flow to q (including through the bias), k and v; the rel-pos
+TABLES get zero gradients — matching the reference training recipe where
+the SAM encoder is frozen (train_ds.py:236-244 unfreezes only the mask
+decoders). Pass train_rel_pos=True to force the XLA path when the tables
+must be trained.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .flash_attention import mha_reference
+from ..nn.sam_image_encoder import decomposed_rel_pos_bias, get_rel_pos
+
+
+def _band_tables(q, rel_h, rel_w, hw: Tuple[int, int]):
+    """q: (B, L, nh, d) -> Bh (B, nh, L, H), Bw (B, nh, L, W), fp32."""
+    H, W = hw
+    b, l, nh, d = q.shape
+    Rh = get_rel_pos(H, H, rel_h).astype(jnp.float32)  # (H, H, d)
+    Rw = get_rel_pos(W, W, rel_w).astype(jnp.float32)  # (W, W, d)
+    r_q = q.reshape(b, H, W, nh, d).astype(jnp.float32)
+    Bh = jnp.einsum("bhwnc,hkc->bnhwk", r_q, Rh).reshape(b, nh, l, H)
+    Bw = jnp.einsum("bhwnc,wkc->bnhwk", r_q, Rw).reshape(b, nh, l, W)
+    return Bh, Bw
+
+
+def _fused_kernel(q_ref, k_ref, v_ref, bht_ref, bw_ref, o_ref,
+                  acc_ref, m_ref, l_ref, *, sm_scale, num_kb):
+    # q_ref (1, block_q, d); k_ref/v_ref (1, W, d) one image row;
+    # bht_ref (1, 1, 1, block_q) = Bh column for this k-row;
+    # bw_ref (1, block_q, W).
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+        m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
+        l_ref[:] = jnp.zeros_like(l_ref)
+
+    q = q_ref[0].astype(jnp.float32) * sm_scale
+    k_blk = k_ref[0].astype(jnp.float32)
+    v_blk = v_ref[0]
+    s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
+    bias = bht_ref[0, 0, 0][:, None] + bw_ref[0].astype(jnp.float32)
+    s = s + bias
+
+    m_prev = m_ref[:]
+    l_prev = l_ref[:]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    p = jnp.exp(s - m_new)
+    alpha = jnp.exp(m_prev - m_new)
+    l_ref[:] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
+    m_ref[:] = m_new
+    acc_ref[:] = acc_ref[:] * alpha + jnp.dot(
+        p.astype(v_blk.dtype), v_blk, preferred_element_type=jnp.float32)
+
+    @pl.when(ki == num_kb - 1)
+    def _finalize():
+        o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
+
+
+def _fused_fwd(q, k, v, rel_h, rel_w, hw, sm_scale, block_q, interpret):
+    H, W = hw
+    b, l, nh, d = q.shape
+    assert l == H * W
+    Bh, Bw = _band_tables(q, rel_h, rel_w, hw)
+    qf = q.transpose(0, 2, 1, 3).reshape(b * nh, l, d)
+    kf = k.transpose(0, 2, 1, 3).reshape(b * nh, l, d)
+    vf = v.transpose(0, 2, 1, 3).reshape(b * nh, l, d)
+    # Bh transposed so the per-k-row column sits in a blockable dim.
+    BhT = Bh.reshape(b * nh, l, H).transpose(0, 2, 1)  # (R, H, L)
+    BhT = BhT.reshape(b * nh, H, 1, l)
+    Bwf = Bw.reshape(b * nh, l, W)
+
+    block_q = min(block_q, l)
+    while l % block_q:
+        block_q //= 2
+    nq = l // block_q
+    nk = H
+
+    out = pl.pallas_call(
+        functools.partial(_fused_kernel, sm_scale=sm_scale, num_kb=nk),
+        grid=(b * nh, nq, nk),
+        in_specs=[
+            pl.BlockSpec((1, block_q, d), lambda g0, g1, g2: (g0, g1, 0)),
+            pl.BlockSpec((1, W, d), lambda g0, g1, g2: (g0, g2, 0)),
+            pl.BlockSpec((1, W, d), lambda g0, g1, g2: (g0, g2, 0)),
+            pl.BlockSpec((1, 1, 1, block_q),
+                         lambda g0, g1, g2: (g0, g2, 0, g1)),
+            pl.BlockSpec((1, block_q, W), lambda g0, g1, g2: (g0, g1, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, d),
+                               lambda g0, g1, g2: (g0, g1, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * nh, l, d), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((block_q, d), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+            pltpu.VMEM((block_q, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qf, kf, vf, BhT, Bwf)
+    return out.reshape(b, nh, l, d).transpose(0, 2, 1, 3)
+
+
+def _banded_bwd(res, g, hw, sm_scale):
+    """k-row-banded attention backward in XLA: O(L*W) working set."""
+    q, k, v, rel_h, rel_w, out = res
+    H, W = hw
+    b, l, nh, d = q.shape
+    Bh, Bw = _band_tables(q, rel_h, rel_w, hw)  # (B,nh,L,H), (B,nh,L,W)
+    Rh = get_rel_pos(H, H, rel_h).astype(jnp.float32)  # (H, H, d)
+    Rw = get_rel_pos(W, W, rel_w).astype(jnp.float32)
+
+    qf = q.astype(jnp.float32)
+    kf = k.astype(jnp.float32).reshape(b, H, W, nh, d)
+    vf = v.astype(jnp.float32).reshape(b, H, W, nh, d)
+    do = g.astype(jnp.float32)
+    delta = jnp.sum(do * out.astype(jnp.float32), axis=-1)  # (B, L, nh)
+
+    def band_logits(kb):
+        k_band = kf[:, kb]                      # (B, W, nh, d)
+        s = jnp.einsum("blnd,bwnd->bnlw", qf * sm_scale, k_band)
+        s = s + Bh[:, :, :, kb][..., None] + Bw
+        return s, k_band
+
+    # pass 1: lse via banded max/logsumexp
+    def max_body(kb, m):
+        s, _ = band_logits(kb)
+        return jnp.maximum(m, jnp.max(s, axis=-1))
+
+    m = jax.lax.fori_loop(
+        0, H, max_body,
+        jnp.full((b, nh, l), -jnp.inf, jnp.float32))
+
+    def sum_body(kb, acc):
+        s, _ = band_logits(kb)
+        return acc + jnp.sum(jnp.exp(s - m[..., None]), axis=-1)
+
+    denom = jax.lax.fori_loop(
+        0, H, sum_body, jnp.zeros((b, nh, l), jnp.float32))
+    lse = m + jnp.log(denom)
+
+    # pass 2: gradients
+    qh = jnp.arange(l) // W  # (L,)
+
+    def grad_body(kb, carry):
+        dq, dk, dv = carry
+        s, k_band = band_logits(kb)
+        p = jnp.exp(s - lse[..., None])          # (B, nh, L, W)
+        v_band = vf[:, kb]                       # (B, W, nh, d)
+        dv_band = jnp.einsum("bnlw,blnd->bwnd", p, do)
+        dp = jnp.einsum("blnd,bwnd->bnlw", do, v_band)
+        ds = p * (dp - delta.transpose(0, 2, 1)[..., None])
+        dq = dq + sm_scale * jnp.einsum("bnlw,bwnd->blnd", ds, k_band)
+        dk_band = sm_scale * jnp.einsum("bnlw,blnd->bwnd", ds, qf)
+        # bias-through-q: dBh[i] = sum_w ds[i, w]; dBw[i, w] = ds[i, w]
+        dbh = jnp.sum(ds, axis=-1)               # (B, nh, L)
+        Rh_rows = Rh[qh, kb]                      # (L, d) static gather
+        dq = dq + jnp.einsum("bnl,ld->blnd", dbh, Rh_rows)
+        qw = jnp.arange(l) % W
+        # dBw contribution: ds[i, w] * Rw[qw_i, w]
+        Rw_q = Rw[qw]                             # (L, W, d)
+        dq = dq + jnp.einsum("bnlw,lwd->blnd", ds, Rw_q)
+        dk = dk.at[:, kb].add(dk_band)
+        dv = dv.at[:, kb].add(dv_band)
+        return dq, dk, dv
+
+    dq0 = jnp.zeros_like(qf)
+    dk0 = jnp.zeros_like(kf)
+    dv0 = jnp.zeros_like(vf)
+    dq, dk, dv = jax.lax.fori_loop(0, H, grad_body, (dq0, dk0, dv0))
+    return (dq.astype(q.dtype),
+            dk.reshape(b, l, nh, d).astype(k.dtype),
+            dv.reshape(b, l, nh, d).astype(v.dtype),
+            jnp.zeros_like(rel_h), jnp.zeros_like(rel_w))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8))
+def _fused(q, k, v, rel_h, rel_w, hw, sm_scale, block_q, interpret):
+    return _fused_fwd(q, k, v, rel_h, rel_w, hw, sm_scale, block_q,
+                      interpret)
+
+
+def _fused_fwd_rule(q, k, v, rel_h, rel_w, hw, sm_scale, block_q,
+                    interpret):
+    out = _fused_fwd(q, k, v, rel_h, rel_w, hw, sm_scale, block_q,
+                     interpret)
+    return out, (q, k, v, rel_h, rel_w, out)
+
+
+def _fused_bwd_rule(hw, sm_scale, block_q, interpret, res, g):
+    return _banded_bwd(res, g, hw, sm_scale)
+
+
+_fused.defvjp(_fused_fwd_rule, _fused_bwd_rule)
+
+
+def sam_global_attention(q, k, v, rel_h, rel_w, hw: Tuple[int, int],
+                         sm_scale=None, block_q: int = 128,
+                         force_xla: bool = False, interpret=None,
+                         train_rel_pos: bool = False):
+    """q/k/v: (B, L, nh, d) with L == hw[0]*hw[1]. Returns (B, L, nh, d).
+
+    Fused path needs zero (L, L) materialization; rel-pos tables are
+    non-differentiable here (set train_rel_pos=True for the XLA path)."""
+    if sm_scale is None:
+        sm_scale = q.shape[-1] ** -0.5
+    H, W = hw
+    small = q.shape[1] < 256 or W % 8 != 0
+    if force_xla or small or train_rel_pos:
+        bias = decomposed_rel_pos_bias(q, rel_h, rel_w, hw, hw)
+        return mha_reference(q, k, v, bias=bias, sm_scale=sm_scale)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _fused(q, k, v, rel_h, rel_w, hw, sm_scale, block_q, interpret)

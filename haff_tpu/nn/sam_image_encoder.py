@@ -113,8 +113,6 @@ class SamAttention(nn.Module):
         qkv = qkv.reshape(b, h * w, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, L, nh, hd)
 
-        logits = jnp.einsum("blnd,bmnd->bnlm", q * scale, k,
-                            preferred_element_type=jnp.float32)
         if self.use_rel_pos:
             rel_pos_h = self.param(
                 "rel_pos_h", nn.initializers.zeros,
@@ -122,10 +120,17 @@ class SamAttention(nn.Module):
             rel_pos_w = self.param(
                 "rel_pos_w", nn.initializers.zeros,
                 (2 * self.input_hw[1] - 1, head_dim), self.param_dtype)
-            logits = logits + decomposed_rel_pos_bias(
-                q, rel_pos_h, rel_pos_w, (h, w), (h, w))
-        probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
-        out = jnp.einsum("bnlm,bmnd->blnd", probs.astype(self.dtype), v)
+            # Large (global) grids take the fused Pallas path: the (L, L)
+            # bias is never materialized (kernels/sam_attention.py).
+            from ..kernels.sam_attention import sam_global_attention
+
+            out = sam_global_attention(q, k, v, rel_pos_h, rel_pos_w,
+                                       (h, w), sm_scale=scale)
+        else:
+            logits = jnp.einsum("blnd,bmnd->bnlm", q * scale, k,
+                                preferred_element_type=jnp.float32)
+            probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+            out = jnp.einsum("bnlm,bmnd->blnd", probs.astype(self.dtype), v)
         out = out.reshape(b, h, w, c)
         return nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype,
                         name="proj")(out)

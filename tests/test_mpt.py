@@ -1,0 +1,80 @@
+"""MPT backend: ALiBi exactness, prefill/decode consistency, multiquery."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from haff_tpu.nn.mpt import (
+    MptConfig,
+    MptForCausalLM,
+    alibi_column_bias,
+    alibi_slopes,
+)
+
+
+def test_alibi_slopes_power_of_two():
+    s = np.asarray(alibi_slopes(8))
+    np.testing.assert_allclose(s, [2 ** -1, 2 ** -2, 2 ** -3, 2 ** -4,
+                                   2 ** -5, 2 ** -6, 2 ** -7, 2 ** -8])
+
+
+def test_alibi_column_bias_equals_full_bias_under_softmax():
+    """Column-only bias must give the same softmax as the full
+    -slope*(i-j) bias."""
+    nh, L = 4, 16
+    slopes = np.asarray(alibi_slopes(nh))
+    col = np.asarray(alibi_column_bias(nh, L))[0]  # (nh, 1, L)
+    rng = np.random.RandomState(0)
+    logits = rng.randn(nh, L, L).astype(np.float32)
+    i = np.arange(L)[:, None]
+    j = np.arange(L)[None, :]
+    causal = j <= i
+    full = logits - slopes[:, None, None] * (i - j)
+    colb = logits + col
+    for h in range(nh):
+        a = np.where(causal, full[h], -1e9)
+        b = np.where(causal, colb[h], -1e9)
+        pa = np.exp(a - a.max(-1, keepdims=True))
+        pa /= pa.sum(-1, keepdims=True)
+        pb = np.exp(b - b.max(-1, keepdims=True))
+        pb /= pb.sum(-1, keepdims=True)
+        np.testing.assert_allclose(pa, pb, rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("multiquery", [False, True])
+def test_mpt_prefill_decode_consistency(multiquery):
+    import dataclasses
+
+    cfg = dataclasses.replace(MptConfig.preset("tiny"),
+                              multiquery=multiquery)
+    model = MptForCausalLM(cfg=cfg)
+    rng = np.random.RandomState(0)
+    ids = jnp.asarray(rng.randint(2, cfg.vocab_size, (2, 12))
+                      .astype(np.int32))
+    params = model.init(jax.random.PRNGKey(0), ids, method="init_all")
+
+    emb = model.apply(params, ids, method="embed")
+    seg = jnp.ones((2, 12), jnp.int32)
+    logits_full, hidden_full, _ = model.apply(params, emb, None, seg)
+
+    prompt_len, max_len = 8, 12
+    caches = model.init_kv_caches(2, max_len, dtype=jnp.float32)
+    logits_p, _, caches = model.apply(
+        params, emb[:, :prompt_len], None, seg[:, :prompt_len],
+        kv_caches=caches, cache_index=jnp.zeros((2,), jnp.int32))
+    np.testing.assert_allclose(np.asarray(logits_p),
+                               np.asarray(logits_full[:, :prompt_len]),
+                               rtol=3e-4, atol=3e-4)
+
+    kv_seg = (jnp.arange(max_len)[None, :] < prompt_len).astype(jnp.int32)
+    kv_seg = jnp.broadcast_to(kv_seg, (2, max_len))
+    for t in range(prompt_len, 12):
+        kv_seg = kv_seg.at[:, t].set(1)
+        logits_t, _, caches = model.apply(
+            params, emb[:, t:t + 1], None, None, kv_caches=caches,
+            cache_index=jnp.full((2,), t, jnp.int32),
+            cache_kv_segment_ids=kv_seg)
+        np.testing.assert_allclose(
+            np.asarray(logits_t[:, 0]), np.asarray(logits_full[:, t]),
+            rtol=3e-4, atol=3e-4, err_msg=f"step {t}")
