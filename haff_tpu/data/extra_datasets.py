@@ -1,0 +1,159 @@
+"""Optional pretraining corpora + dataset mixing.
+
+Capability parity with the reference's legacy LISA data layer
+(reference: utils/dataset.py HybridDataset:172-316, vqa_dataset.py,
+reason_seg_dataset.py, data_processing.py get_mask_from_json). The
+reference ships these shape-incompatible with its bimanual collate
+(SURVEY.md 2.4); here they produce the SAME Sample contract as the
+affordance dataset, so the one static-shape collate serves all of them:
+
+  * VQA samples carry no masks and no [SEG] in the answer — the model's
+    seg_valid gate automatically zeroes their mask losses.
+  * ReasonSeg samples carry a single referred mask, mapped to the LEFT
+    decoder with taxonomy [1,0,0,0] (the bimanual model's closest
+    equivalent of unimanual supervision).
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import random
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .collate import Sample
+
+LONG_QUESTION_LIST = [
+    "<image>\n{sent} Please respond with segmentation mask.",
+    "<image>\n{sent} Please output segmentation mask.",
+]
+
+EXPLANATORY_QUESTION_LIST = [
+    "Please output segmentation mask and explain why.",
+    "Please output segmentation mask and explain the reason.",
+]
+
+
+def get_mask_from_json(json_path: str, img: np.ndarray
+                       ) -> Tuple[np.ndarray, str, bool]:
+    """ReasonSeg polygon annotation -> mask with ignore label 255
+    (reference utils/data_processing.py:9-60: polygons drawn largest
+    first so small targets override enclosing ignore regions)."""
+    import cv2
+
+    with open(json_path, "r", errors="replace") as r:
+        anno = json.load(r)
+    shapes = anno["shapes"]
+    comments = anno.get("text", "")
+    is_sentence = bool(anno.get("is_sentence", False))
+    h, w = img.shape[:2]
+
+    areas = []
+    polys = []
+    for shape in shapes:
+        if shape.get("label", "").lower() == "flag":
+            continue
+        pts = np.asarray([shape["points"]], np.int32)
+        tmp = np.zeros((h, w), np.uint8)
+        cv2.fillPoly(tmp, pts, 1)
+        areas.append(int(tmp.sum()))
+        polys.append(shape)
+    order = np.argsort(areas)[::-1]
+
+    mask = np.zeros((h, w), np.uint8)
+    for idx in order:
+        shape = polys[int(idx)]
+        value = 255 if "ignore" in shape.get("label", "").lower() else 1
+        pts = np.asarray([shape["points"]], np.int32)
+        cv2.polylines(mask, pts, True, value, 1)
+        cv2.fillPoly(mask, pts, value)
+    return mask, comments, is_sentence
+
+
+class ReasonSegDataset:
+    """ReasonSeg jsons: <name>.jpg + <name>.json with polygon shapes
+    (reference reason_seg_dataset.py)."""
+
+    def __init__(self, base_dir: str, split: str = "train", seed: int = 0):
+        self.images = sorted(
+            glob.glob(os.path.join(base_dir, split, "*.jpg")))
+        self.rng = np.random.RandomState(seed)
+
+    def __len__(self):
+        return len(self.images)
+
+    def get(self, idx: int) -> Sample:
+        import cv2
+
+        img_path = self.images[idx]
+        image = cv2.cvtColor(cv2.imread(img_path), cv2.COLOR_BGR2RGB)
+        mask, text, is_sentence = get_mask_from_json(
+            img_path.replace(".jpg", ".json"), image)
+        if is_sentence:
+            q = self.rng.choice(LONG_QUESTION_LIST).format(sent=text)
+        else:
+            q = ("<image>\nWhat is {cls} in this picture? Please respond "
+                 "with segmentation mask.").format(cls=text.lower())
+        return Sample(image=image, question=q, answer="It is [SEG].",
+                      mask_left=(mask == 1).astype(np.uint8),
+                      mask_right=None,
+                      taxonomy=np.asarray([1, 0, 0, 0], np.float32))
+
+    def __getitem__(self, idx) -> Sample:
+        return self.get(int(self.rng.randint(0, len(self.images))))
+
+
+class VqaDataset:
+    """llava_instruct-style VQA (reference vqa_dataset.py): json list of
+    {image, conversations: [{from: human/gpt, value}, ...]}; LM loss only."""
+
+    def __init__(self, json_path: str, image_dir: str, seed: int = 0):
+        with open(json_path) as f:
+            self.items = json.load(f)
+        self.image_dir = image_dir
+        self.rng = np.random.RandomState(seed)
+
+    def __len__(self):
+        return len(self.items)
+
+    def get(self, idx: int) -> Sample:
+        import cv2
+
+        item = self.items[idx]
+        image = cv2.cvtColor(
+            cv2.imread(os.path.join(self.image_dir, item["image"])),
+            cv2.COLOR_BGR2RGB)
+        conv = item["conversations"]
+        q = conv[0]["value"]
+        if "<image>" not in q:
+            q = "<image>\n" + q
+        a = conv[1]["value"] if len(conv) > 1 else ""
+        return Sample(image=image, question=q, answer=a)
+
+    def __getitem__(self, idx) -> Sample:
+        return self.get(int(self.rng.randint(0, len(self.items))))
+
+
+class HybridDataset:
+    """Sample-rate mixing over datasets (reference dataset.py
+    HybridDataset:172-316: draw a dataset by normalized sample_rate per
+    example, then a uniform random example from it)."""
+
+    def __init__(self, datasets: Sequence, sample_rates: Sequence[float],
+                 samples_per_epoch: int = 10000, seed: int = 0):
+        assert len(datasets) == len(sample_rates) and datasets
+        self.datasets = list(datasets)
+        rates = np.asarray(sample_rates, np.float64)
+        self.probs = rates / rates.sum()
+        self.samples_per_epoch = samples_per_epoch
+        self.rng = np.random.RandomState(seed)
+
+    def __len__(self):
+        return self.samples_per_epoch
+
+    def __getitem__(self, idx) -> Sample:
+        d = self.rng.choice(len(self.datasets), p=self.probs)
+        return self.datasets[d][0]

@@ -50,11 +50,13 @@ def _band_tables(q, rel_h, rel_w, hw: Tuple[int, int]):
 
 
 def _fused_kernel(q_ref, k_ref, v_ref, bht_ref, bw_ref, o_ref,
-                  acc_ref, m_ref, l_ref, *, sm_scale, num_kb):
-    # q_ref (1, block_q, d); k_ref/v_ref (1, W, d) one image row;
-    # bht_ref (1, 1, 1, block_q) = Bh column for this k-row;
-    # bw_ref (1, block_q, W).
+                  acc_ref, m_ref, l_ref, *, sm_scale, num_kb, rows, W,
+                  interpret):
+    # q_ref (1, block_q, d); k_ref/v_ref (1, rows*W, d) — `rows` image
+    # rows per k step; bht_ref (1, 1, rows, block_q) = Bh columns for
+    # these k-rows (transposed layout); bw_ref (1, block_q, W).
     ki = pl.program_id(2)
+    block_q = q_ref.shape[1]
 
     @pl.when(ki == 0)
     def _init():
@@ -66,8 +68,18 @@ def _fused_kernel(q_ref, k_ref, v_ref, bht_ref, bw_ref, o_ref,
     k_blk = k_ref[0].astype(jnp.float32)
     v_blk = v_ref[0]
     s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
-    bias = bht_ref[0, 0, 0][:, None] + bw_ref[0].astype(jnp.float32)
-    s = s + bias
+
+    # bias[i, r*W + w] = Bh[i, row_r] + Bw[i, w]: expand each Bh column
+    # across the W lanes of its row block, tile Bw across rows.
+    bh_cols = bht_ref[0, 0].astype(jnp.float32)        # (rows, block_q)
+    bh_t = bh_cols.T                                    # (block_q, rows)
+    if interpret:
+        bh_exp = jnp.repeat(bh_t, W, axis=1)
+    else:
+        bh_exp = pltpu.repeat(bh_t, W, axis=1)          # (block_q, rows*W)
+    bw = bw_ref[0].astype(jnp.float32)                  # (block_q, W)
+    bw_tiled = jnp.concatenate([bw] * (k_blk.shape[0] // W), axis=1)
+    s = s + bh_exp + bw_tiled
 
     m_prev = m_ref[:]
     l_prev = l_ref[:]
@@ -84,7 +96,8 @@ def _fused_kernel(q_ref, k_ref, v_ref, bht_ref, bw_ref, o_ref,
         o_ref[0] = (acc_ref[:] / l_ref[:]).astype(o_ref.dtype)
 
 
-def _fused_fwd(q, k, v, rel_h, rel_w, hw, sm_scale, block_q, interpret):
+def _fused_fwd(q, k, v, rel_h, rel_w, hw, sm_scale, block_q, interpret,
+               rows_per_kb: int = 16):
     H, W = hw
     b, l, nh, d = q.shape
     assert l == H * W
@@ -92,25 +105,33 @@ def _fused_fwd(q, k, v, rel_h, rel_w, hw, sm_scale, block_q, interpret):
     qf = q.transpose(0, 2, 1, 3).reshape(b * nh, l, d)
     kf = k.transpose(0, 2, 1, 3).reshape(b * nh, l, d)
     vf = v.transpose(0, 2, 1, 3).reshape(b * nh, l, d)
-    # Bh transposed so the per-k-row column sits in a blockable dim.
-    BhT = Bh.reshape(b * nh, l, H).transpose(0, 2, 1)  # (R, H, L)
-    BhT = BhT.reshape(b * nh, H, 1, l)
+
+    rows = rows_per_kb
+    while H % rows:
+        rows //= 2
+    rows = max(rows, 1)
+    block_k = rows * W
+    # Bh transposed so per-k-step columns sit in blockable dims:
+    # (R, nkb, rows, L).
+    BhT = Bh.reshape(b * nh, l, H).transpose(0, 2, 1)   # (R, H, L)
+    BhT = BhT.reshape(b * nh, H // rows, rows, l)
     Bwf = Bw.reshape(b * nh, l, W)
 
     block_q = min(block_q, l)
     while l % block_q:
         block_q //= 2
     nq = l // block_q
-    nk = H
+    nk = H // rows
 
     out = pl.pallas_call(
-        functools.partial(_fused_kernel, sm_scale=sm_scale, num_kb=nk),
+        functools.partial(_fused_kernel, sm_scale=sm_scale, num_kb=nk,
+                          rows=rows, W=W, interpret=interpret),
         grid=(b * nh, nq, nk),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda g0, g1, g2: (g0, g1, 0)),
-            pl.BlockSpec((1, W, d), lambda g0, g1, g2: (g0, g2, 0)),
-            pl.BlockSpec((1, W, d), lambda g0, g1, g2: (g0, g2, 0)),
-            pl.BlockSpec((1, 1, 1, block_q),
+            pl.BlockSpec((1, block_k, d), lambda g0, g1, g2: (g0, g2, 0)),
+            pl.BlockSpec((1, block_k, d), lambda g0, g1, g2: (g0, g2, 0)),
+            pl.BlockSpec((1, 1, rows, block_q),
                          lambda g0, g1, g2: (g0, g2, 0, g1)),
             pl.BlockSpec((1, block_q, W), lambda g0, g1, g2: (g0, g1, 0)),
         ],
@@ -221,7 +242,7 @@ _fused.defvjp(_fused_fwd_rule, _fused_bwd_rule)
 
 
 def sam_global_attention(q, k, v, rel_h, rel_w, hw: Tuple[int, int],
-                         sm_scale=None, block_q: int = 128,
+                         sm_scale=None, block_q: int = 512,
                          force_xla: bool = False, interpret=None,
                          train_rel_pos: bool = False):
     """q/k/v: (B, L, nh, d) with L == hw[0]*hw[1]. Returns (B, L, nh, d).
