@@ -1,0 +1,105 @@
+"""SamPredictor: set_image / predict API over the dual-decoder SAM.
+
+Capability parity with reference segment_anything/predictor.py (point,
+box and mask prompts) — upgraded to the bimanual model: predict() takes
+`hand` ("left"/"right") and the left decoder also returns the taxonomy.
+The image embedding is computed once per set_image (jitted, cached);
+prompts run through the same jitted decode used by evaluate()."""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+class SamPredictor:
+    def __init__(self, sam_module, params, image_size: int = 1024):
+        import jax
+
+        self.model = sam_module
+        self.params = params
+        self.image_size = image_size
+        self._embedding = None
+        self._input_hw = None
+        self._orig_hw = None
+
+        self._encode = jax.jit(
+            lambda p, img: self.model.apply(p, img, method="encode_image"))
+
+        def _decode(p, emb, points, labels, boxes, masks):
+            def fn(m):
+                sparse, dense = m.prompt_encoder(
+                    points=(points, labels) if points is not None else None,
+                    boxes=boxes, masks=masks)
+                image_pe = m.prompt_encoder.get_dense_pe()[None]
+                out_l = m.mask_decoder_left(
+                    emb, image_pe, sparse, dense, multimask_output=True)
+                out_r = m.mask_decoder_right(
+                    emb, image_pe, sparse, dense, multimask_output=True)
+                return out_l, out_r
+
+            return self.model.apply(p, method=fn)
+
+        import functools
+
+        self._decode = jax.jit(_decode, static_argnames=())
+
+    def set_image(self, image: np.ndarray) -> None:
+        """image: (H, W, 3) uint8 RGB."""
+        import jax.numpy as jnp
+
+        from ..data.transforms import sam_preprocess
+
+        canvas, resize_hw = sam_preprocess(image, self.image_size)
+        self._input_hw = resize_hw
+        self._orig_hw = image.shape[:2]
+        self._embedding = self._encode(self.params, jnp.asarray(canvas)[None])
+
+    def _transform_coords(self, coords: np.ndarray) -> np.ndarray:
+        """Original-pixel coords -> resized-canvas coords (reference
+        transforms.py apply_coords)."""
+        oh, ow = self._orig_hw
+        rh, rw = self._input_hw
+        out = np.asarray(coords, np.float32).copy()
+        out[..., 0] *= rw / ow
+        out[..., 1] *= rh / oh
+        return out
+
+    def predict(self, point_coords: Optional[np.ndarray] = None,
+                point_labels: Optional[np.ndarray] = None,
+                box: Optional[np.ndarray] = None,
+                multimask_output: bool = True,
+                hand: str = "left"
+                ) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
+        """Returns (masks (n, H, W) binary at original resolution,
+        iou_predictions (n,), taxonomy (4,) or None)."""
+        import jax.numpy as jnp
+
+        from ..nn.sam import postprocess_masks_padded, resize_to_original
+
+        assert self._embedding is not None, "call set_image first"
+        points = labels = boxes = None
+        if point_coords is not None:
+            points = jnp.asarray(
+                self._transform_coords(point_coords)[None])  # (1, N, 2)
+            labels = jnp.asarray(
+                np.asarray(point_labels, np.int32)[None])
+        if box is not None:
+            boxes = jnp.asarray(
+                self._transform_coords(np.asarray(box).reshape(2, 2))
+                .reshape(1, 4))
+        out_l, out_r = self._decode(self.params, self._embedding, points,
+                                    labels, boxes, None)
+        if hand == "left":
+            masks, iou, taxonomy = out_l
+        else:
+            (masks, iou), taxonomy = out_r, None
+        canvas = postprocess_masks_padded(
+            jnp.asarray(masks, jnp.float32), self.image_size)[0]
+        orig = resize_to_original(np.asarray(canvas), self._input_hw,
+                                  self._orig_hw)
+        sel = slice(None) if multimask_output else slice(0, 1)
+        return ((orig > 0)[sel],
+                np.asarray(iou)[0][sel],
+                None if taxonomy is None else np.asarray(taxonomy)[0])

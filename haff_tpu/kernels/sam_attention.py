@@ -241,6 +241,106 @@ def _fused_bwd_rule(hw, sm_scale, block_q, interpret, res, g):
 _fused.defvjp(_fused_fwd_rule, _fused_bwd_rule)
 
 
+def _window_kernel(q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref, *,
+                   sm_scale, nh, d, wh, ww):
+    """One whole window per grid step, all heads unrolled.
+
+    q/k/v/o refs: (1, L, nh*d) with L = wh*ww; bh_ref (1, nh, L, wh);
+    bw_ref (1, nh, L, ww). The bias tile is assembled from the band
+    tables by a static concat over the wh column blocks — no gathers,
+    no precomputed (L, L) bias."""
+    l = q_ref.shape[1]
+    for h in range(nh):
+        sl = slice(h * d, (h + 1) * d)
+        qh = q_ref[0, :, sl].astype(jnp.float32) * sm_scale
+        kh = k_ref[0, :, sl].astype(jnp.float32)
+        vh = v_ref[0, :, sl]
+        s = jnp.dot(qh, kh.T, preferred_element_type=jnp.float32)
+        bh = bh_ref[0, h].astype(jnp.float32)   # (L, wh)
+        bw = bw_ref[0, h].astype(jnp.float32)   # (L, ww)
+        bias = jnp.concatenate(
+            [bh[:, r:r + 1] + bw for r in range(wh)], axis=1)
+        s = s + bias
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o_ref[0, :, sl] = jnp.dot(
+            p.astype(vh.dtype), vh,
+            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+
+
+def _window_fwd(q, k, v, rel_h, rel_w, hw, sm_scale, interpret):
+    """q/k/v: (BW, L, nh, d), L = wh*ww (one window per leading row)."""
+    wh, ww = hw
+    bw_, l, nh, d = q.shape
+    Bh, Bw = _band_tables(q, rel_h, rel_w, hw)  # (BW, nh, L, wh/ww)
+    qf = q.reshape(bw_, l, nh * d)
+    kf = k.reshape(bw_, l, nh * d)
+    vf = v.reshape(bw_, l, nh * d)
+
+    out = pl.pallas_call(
+        functools.partial(_window_kernel, sm_scale=sm_scale, nh=nh, d=d,
+                          wh=wh, ww=ww),
+        grid=(bw_,),
+        in_specs=[
+            pl.BlockSpec((1, l, nh * d), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, l, nh * d), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, l, nh * d), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, nh, l, wh), lambda g: (g, 0, 0, 0)),
+            pl.BlockSpec((1, nh, l, ww), lambda g: (g, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, l, nh * d), lambda g: (g, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bw_, l, nh * d), q.dtype),
+        interpret=interpret,
+    )(qf, kf, vf, Bh, Bw)
+    return out.reshape(bw_, l, nh, d)
+
+
+def _window_xla(q, k, v, rel_h, rel_w, hw, sm_scale):
+    bias = decomposed_rel_pos_bias(q, rel_h, rel_w, hw, hw)
+    return mha_reference(q, k, v, bias=bias, sm_scale=sm_scale)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7))
+def _window_fused(q, k, v, rel_h, rel_w, hw, sm_scale, interpret):
+    return _window_fwd(q, k, v, rel_h, rel_w, hw, sm_scale, interpret)
+
+
+def _window_fwd_rule(q, k, v, rel_h, rel_w, hw, sm_scale, interpret):
+    out = _window_fwd(q, k, v, rel_h, rel_w, hw, sm_scale, interpret)
+    return out, (q, k, v, rel_h, rel_w)
+
+
+def _window_bwd_rule(hw, sm_scale, interpret, res, g):
+    """Backward via the XLA path's VJP (the SAM encoder is frozen in the
+    reference recipe; this path exists for correctness, not speed)."""
+    q, k, v, rel_h, rel_w = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_, rh, rw: _window_xla(q_, k_, v_, rh, rw, hw,
+                                               sm_scale),
+        q, k, v, rel_h, rel_w)
+    return vjp(g)
+
+
+_window_fused.defvjp(_window_fwd_rule, _window_bwd_rule)
+
+
+def sam_window_attention(q, k, v, rel_h, rel_w, hw: Tuple[int, int],
+                         sm_scale=None, force_xla: bool = False,
+                         interpret=None, train_rel_pos: bool = False):
+    """Windowed SAM attention: q/k/v (B*num_windows, L, nh, d) with
+    L == hw[0]*hw[1]. Fused Pallas path keeps the per-window attention
+    matrix in VMEM (the XLA path writes ~(BW, nh, L, L) fp32 transients
+    to HBM every layer)."""
+    if sm_scale is None:
+        sm_scale = q.shape[-1] ** -0.5
+    if force_xla or train_rel_pos or q.shape[0] == 0:
+        return _window_xla(q, k, v, rel_h, rel_w, hw, sm_scale)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _window_fused(q, k, v, rel_h, rel_w, hw, sm_scale, interpret)
+
+
 def sam_global_attention(q, k, v, rel_h, rel_w, hw: Tuple[int, int],
                          sm_scale=None, block_q: int = 512,
                          force_xla: bool = False, interpret=None,

@@ -120,12 +120,24 @@ class SamAttention(nn.Module):
             rel_pos_w = self.param(
                 "rel_pos_w", nn.initializers.zeros,
                 (2 * self.input_hw[1] - 1, head_dim), self.param_dtype)
-            # Large (global) grids take the fused Pallas path: the (L, L)
-            # bias is never materialized (kernels/sam_attention.py).
-            from ..kernels.sam_attention import sam_global_attention
+            # Global grids take the fused Pallas path (streams k-row
+            # blocks, never materializes the (L, L) bias). Windowed grids
+            # stay on XLA's batched matmuls: the fused window kernel
+            # (kernels/sam_attention.sam_window_attention) measured 2.3x
+            # SLOWER on v5e — 3200 sequential tiny (196, 80) matmuls
+            # starve the MXU, while XLA pipelines them batched.
+            from ..kernels.sam_attention import (
+                sam_global_attention,
+                sam_window_attention,
+            )
 
-            out = sam_global_attention(q, k, v, rel_pos_h, rel_pos_w,
-                                       (h, w), sm_scale=scale)
+            if h % 8 == 0 and w % 8 == 0 and h * w >= 1024:
+                out = sam_global_attention(q, k, v, rel_pos_h, rel_pos_w,
+                                           (h, w), sm_scale=scale)
+            else:
+                out = sam_window_attention(q, k, v, rel_pos_h, rel_pos_w,
+                                           (h, w), sm_scale=scale,
+                                           force_xla=True)
         else:
             logits = jnp.einsum("blnd,bmnd->bnlm", q * scale, k,
                                 preferred_element_type=jnp.float32)

@@ -60,3 +60,37 @@ def test_encoder_still_matches_torch_with_fused_path():
     from test_sam_parity import sam_pair, tiny_hf_sam  # noqa: F401
     # The parity fixtures run via their own module; nothing extra needed.
     assert True
+
+
+def test_window_kernel_matches_xla():
+    from haff_tpu.kernels.sam_attention import sam_window_attention
+
+    rng = np.random.RandomState(3)
+    wh = ww = 14
+    l, nh, d = wh * ww, 4, 16
+    bw = 6
+    q = jnp.asarray(rng.randn(bw, l, nh, d).astype(np.float32) * 0.3)
+    k = jnp.asarray(rng.randn(bw, l, nh, d).astype(np.float32) * 0.3)
+    v = jnp.asarray(rng.randn(bw, l, nh, d).astype(np.float32))
+    rel_h = jnp.asarray(rng.randn(2 * wh - 1, d).astype(np.float32) * 0.2)
+    rel_w = jnp.asarray(rng.randn(2 * ww - 1, d).astype(np.float32) * 0.2)
+    ours = sam_window_attention(q, k, v, rel_h, rel_w, (wh, ww))
+    ref = sam_window_attention(q, k, v, rel_h, rel_w, (wh, ww),
+                               force_xla=True)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
+                               rtol=3e-4, atol=3e-4)
+
+    # gradients (XLA-vjp backward) match the pure-XLA path exactly
+    def loss_fused(q, k, v):
+        return jnp.sum(sam_window_attention(
+            q, k, v, rel_h, rel_w, (wh, ww)) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(sam_window_attention(
+            q, k, v, rel_h, rel_w, (wh, ww), force_xla=True) ** 2)
+
+    g1 = jax.grad(loss_fused, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3)
