@@ -164,6 +164,9 @@ class ModelConfig:
     # [SEG] projection MLP: hidden -> hidden -> 256 (reference: LISA.py:91-104).
     out_dim: int = 256
     seg_token_idx: int = 32000
+    # Decoder backend: "llama" (LlavaLlama path) or "mpt" (llava_mpt path,
+    # reference model/language_model/llava_mpt.py).
+    decoder: str = "llama"
     # Loss weights (reference: train_ds.py flags; LISA.py:346-430).
     ce_loss_weight: float = 1.0
     dice_loss_weight: float = 0.5

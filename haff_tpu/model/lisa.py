@@ -71,9 +71,25 @@ class LisaModel(nn.Module):
 
     def setup(self):
         cfg = self.cfg
-        self.llm = LlamaForCausalLM(
-            cfg=cfg.llama, dtype=self.dtype, param_dtype=self.param_dtype,
-            remat=self.remat, name="llm")
+        if cfg.decoder == "mpt":
+            # Alternative MPT backend (reference llava_mpt.py): same
+            # (logits, hidden, caches) interface; ALiBi ignores positions.
+            from ..nn.mpt import MptConfig, MptForCausalLM
+
+            mpt_cfg = MptConfig(
+                vocab_size=cfg.llama.vocab_size,
+                d_model=cfg.llama.hidden_size,
+                n_heads=cfg.llama.num_heads,
+                n_layers=cfg.llama.num_layers,
+                max_seq_len=cfg.llama.max_seq_len)
+            self.llm = MptForCausalLM(
+                cfg=mpt_cfg, dtype=self.dtype,
+                param_dtype=self.param_dtype, name="llm")
+        else:
+            self.llm = LlamaForCausalLM(
+                cfg=cfg.llama, dtype=self.dtype,
+                param_dtype=self.param_dtype, remat=self.remat,
+                name="llm")
         self.vision_tower = ClipVisionTower(
             cfg=cfg.clip, dtype=self.dtype, param_dtype=self.param_dtype,
             name="vision_tower")

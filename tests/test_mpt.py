@@ -78,3 +78,27 @@ def test_mpt_prefill_decode_consistency(multiquery):
         np.testing.assert_allclose(
             np.asarray(logits_t[:, 0]), np.asarray(logits_full[:, t]),
             rtol=3e-4, atol=3e-4, err_msg=f"step {t}")
+
+
+def test_lisa_with_mpt_backend():
+    """Composite model with decoder='mpt': train forward + evaluate."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_lisa_model import make_tiny_batch
+
+    from haff_tpu.core.config import ModelConfig
+    from haff_tpu.infer.evaluate import make_jitted_evaluate
+    from haff_tpu.model.lisa import LisaModel
+
+    cfg = ModelConfig.preset("tiny").replace(decoder="mpt")
+    model = LisaModel(cfg=cfg)
+    batch = make_tiny_batch(cfg)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+    out = jax.jit(model.apply)(params, batch)
+    assert np.isfinite(float(out.loss))
+
+    ev = make_jitted_evaluate(model, max_new_tokens=3, eos_id=2)
+    res = ev(params, batch.images_sam, batch.images_clip,
+             batch.input_ids[:2], batch.attention_mask[:2])
+    assert res.output_ids.shape == (2, 3)
+    assert np.isfinite(np.asarray(res.pred_masks_left)).all()
