@@ -31,6 +31,7 @@ def parse_args(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     # model
     p.add_argument("--model_preset", default="7b")
+    p.add_argument("--decoder", default="llama", choices=["llama", "mpt"])
     p.add_argument("--tokenizer", default=None)
     p.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
     p.add_argument("--image_size", type=int, default=1024)
@@ -109,6 +110,7 @@ def main(argv=None):
     base = ModelConfig.preset(args.model_preset)
     cfg = base.replace(
         seg_token_idx=seg_token_idx(tok),
+        decoder=args.decoder,
         ce_loss_weight=args.ce_loss_weight,
         dice_loss_weight=args.dice_loss_weight,
         bce_loss_weight=args.bce_loss_weight,
