@@ -71,15 +71,16 @@ def _fused_kernel(q_ref, k_ref, v_ref, bht_ref, bw_ref, o_ref,
 
     # bias[i, r*W + w] = Bh[i, row_r] + Bw[i, w]: expand each Bh column
     # across the W lanes of its row block, tile Bw across rows.
+    # NOTE: pltpu.repeat TILES ([c0, c1, c0, c1]) rather than expanding
+    # per element ([c0, c0, c1, c1]) — verified on chip — so the
+    # expansion is a static concat of broadcast column slices; the same
+    # code runs in interpret and compiled modes (no test-blind branch).
     bh_cols = bht_ref[0, 0].astype(jnp.float32)        # (rows, block_q)
     bh_t = bh_cols.T                                    # (block_q, rows)
-    if interpret:
-        bh_exp = jnp.repeat(bh_t, W, axis=1)
-    else:
-        bh_exp = pltpu.repeat(bh_t, W, axis=1)          # (block_q, rows*W)
     bw = bw_ref[0].astype(jnp.float32)                  # (block_q, W)
-    bw_tiled = jnp.concatenate([bw] * (k_blk.shape[0] // W), axis=1)
-    s = s + bh_exp + bw_tiled
+    bias = jnp.concatenate(
+        [bh_t[:, r:r + 1] + bw for r in range(rows)], axis=1)
+    s = s + bias
 
     m_prev = m_ref[:]
     l_prev = l_ref[:]
@@ -120,6 +121,11 @@ def _fused_fwd(q, k, v, rel_h, rel_w, hw, sm_scale, block_q, interpret,
     block_q = min(block_q, l)
     while l % block_q:
         block_q //= 2
+    # The BhT block's last dim is block_q: Mosaic needs it 128-divisible
+    # or equal to the full dim (callers' public entry falls back to XLA
+    # for small grids; this guards direct use).
+    assert block_q % 128 == 0 or block_q == l, (
+        f"block_q={block_q} must be a multiple of 128 (or == L={l})")
     nq = l // block_q
     nk = H // rows
 
@@ -243,30 +249,31 @@ _fused.defvjp(_fused_fwd_rule, _fused_bwd_rule)
 
 def _window_kernel(q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref, *,
                    sm_scale, nh, d, wh, ww):
-    """One whole window per grid step, all heads unrolled.
+    """One whole window per grid step, heads batched through Mosaic's
+    batched dot_general (verified supported on v5e).
 
-    q/k/v/o refs: (1, L, nh*d) with L = wh*ww; bh_ref (1, nh, L, wh);
-    bw_ref (1, nh, L, ww). The bias tile is assembled from the band
-    tables by a static concat over the wh column blocks — no gathers,
-    no precomputed (L, L) bias."""
-    l = q_ref.shape[1]
-    for h in range(nh):
-        sl = slice(h * d, (h + 1) * d)
-        qh = q_ref[0, :, sl].astype(jnp.float32) * sm_scale
-        kh = k_ref[0, :, sl].astype(jnp.float32)
-        vh = v_ref[0, :, sl]
-        s = jnp.dot(qh, kh.T, preferred_element_type=jnp.float32)
-        bh = bh_ref[0, h].astype(jnp.float32)   # (L, wh)
-        bw = bw_ref[0, h].astype(jnp.float32)   # (L, ww)
-        bias = jnp.concatenate(
-            [bh[:, r:r + 1] + bw for r in range(wh)], axis=1)
-        s = s + bias
-        m = jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        o_ref[0, :, sl] = jnp.dot(
-            p.astype(vh.dtype), vh,
-            preferred_element_type=jnp.float32).astype(o_ref.dtype)
+    q/k/v/o refs: (1, nh, L, d) with L = wh*ww; bh_ref (1, nh, L, wh);
+    bw_ref (1, nh, L, ww). The bias tile is assembled once per window
+    from the band tables by a static concat over the wh column blocks —
+    no gathers, no precomputed (L, L) bias."""
+    q = q_ref[0].astype(jnp.float32) * sm_scale   # (nh, L, d)
+    k = k_ref[0].astype(jnp.float32)
+    v = v_ref[0]
+    s = jax.lax.dot_general(
+        q, k, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)       # (nh, L, L)
+    bh = bh_ref[0].astype(jnp.float32)            # (nh, L, wh)
+    bw = bw_ref[0].astype(jnp.float32)            # (nh, L, ww)
+    bias = jnp.concatenate(
+        [bh[:, :, r:r + 1] + bw for r in range(wh)], axis=2)
+    s = s + bias
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)       # (nh, L, d)
+    o_ref[0] = o.astype(o_ref.dtype)
 
 
 def _window_fwd(q, k, v, rel_h, rel_w, hw, sm_scale, interpret):
@@ -274,26 +281,26 @@ def _window_fwd(q, k, v, rel_h, rel_w, hw, sm_scale, interpret):
     wh, ww = hw
     bw_, l, nh, d = q.shape
     Bh, Bw = _band_tables(q, rel_h, rel_w, hw)  # (BW, nh, L, wh/ww)
-    qf = q.reshape(bw_, l, nh * d)
-    kf = k.reshape(bw_, l, nh * d)
-    vf = v.reshape(bw_, l, nh * d)
+    qf = q.transpose(0, 2, 1, 3)  # (BW, nh, L, d)
+    kf = k.transpose(0, 2, 1, 3)
+    vf = v.transpose(0, 2, 1, 3)
 
     out = pl.pallas_call(
         functools.partial(_window_kernel, sm_scale=sm_scale, nh=nh, d=d,
                           wh=wh, ww=ww),
         grid=(bw_,),
         in_specs=[
-            pl.BlockSpec((1, l, nh * d), lambda g: (g, 0, 0)),
-            pl.BlockSpec((1, l, nh * d), lambda g: (g, 0, 0)),
-            pl.BlockSpec((1, l, nh * d), lambda g: (g, 0, 0)),
+            pl.BlockSpec((1, nh, l, d), lambda g: (g, 0, 0, 0)),
+            pl.BlockSpec((1, nh, l, d), lambda g: (g, 0, 0, 0)),
+            pl.BlockSpec((1, nh, l, d), lambda g: (g, 0, 0, 0)),
             pl.BlockSpec((1, nh, l, wh), lambda g: (g, 0, 0, 0)),
             pl.BlockSpec((1, nh, l, ww), lambda g: (g, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, l, nh * d), lambda g: (g, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((bw_, l, nh * d), q.dtype),
+        out_specs=pl.BlockSpec((1, nh, l, d), lambda g: (g, 0, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bw_, nh, l, d), q.dtype),
         interpret=interpret,
     )(qf, kf, vf, Bh, Bw)
-    return out.reshape(bw_, l, nh, d)
+    return out.transpose(0, 2, 1, 3)
 
 
 def _window_xla(q, k, v, rel_h, rel_w, hw, sm_scale):

@@ -1,0 +1,96 @@
+"""2HANDS pipeline CLI — the pipeline.bash analog.
+
+Walks a frame tree of <seq>/{frame.png, hand_left.png, hand_right.png,
+object.png, annotation.json{narration, taxonomy3}} (the post-propagation
+layout the reference's submodule stages emit), runs the deterministic
+stages (dilate/recolor -> affordance extraction -> filtering -> taxonomy
+expansion -> packing) and writes h5+json training shards.
+
+Usage: python -m haff_tpu.pipeline.cli --frames_dir F --out_dir O
+       [--dilate 10] [--shard_size 512] [--flip_augment]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import numpy as np
+
+
+def load_sequences(frames_dir: str):
+    import cv2
+
+    frames, hl, hr, obj, narrs, tax3 = [], [], [], [], [], []
+    for seq in sorted(os.listdir(frames_dir)):
+        sdir = os.path.join(frames_dir, seq)
+        if not os.path.isdir(sdir):
+            continue
+        fp = os.path.join(sdir, "frame.png")
+        ann_p = os.path.join(sdir, "annotation.json")
+        if not (os.path.exists(fp) and os.path.exists(ann_p)):
+            continue
+        frame = cv2.cvtColor(cv2.imread(fp), cv2.COLOR_BGR2RGB)
+        with open(ann_p) as f:
+            ann = json.load(f)
+
+        def mask(name):
+            p = os.path.join(sdir, name)
+            m = cv2.imread(p, cv2.IMREAD_GRAYSCALE) if os.path.exists(p) \
+                else None
+            return ((m > 127).astype(np.uint8) if m is not None
+                    else np.zeros(frame.shape[:2], np.uint8))
+
+        frames.append(frame)
+        hl.append(mask("hand_left.png"))
+        hr.append(mask("hand_right.png"))
+        obj.append(mask("object.png"))
+        narrs.append(ann.get("narration", ""))
+        tax3.append(ann.get("taxonomy3", [1, 0, 0]))
+    if not frames:
+        return None
+    return (np.stack(frames), np.stack(hl), np.stack(hr), np.stack(obj),
+            narrs, np.asarray(tax3, np.float32))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--frames_dir", required=True)
+    p.add_argument("--out_dir", required=True)
+    p.add_argument("--dilate", type=int, default=10)
+    p.add_argument("--shard_size", type=int, default=512)
+    p.add_argument("--shard_name", default="P00")
+    p.add_argument("--flip_augment", action="store_true")
+    args = p.parse_args(argv)
+
+    from .orchestrate import run_pipeline
+
+    data = load_sequences(args.frames_dir)
+    if data is None:
+        print("no sequences found")
+        return
+    frames, hl, hr, obj, narrs, tax3 = data
+    print(f"loaded {frames.shape[0]} frames")
+    shards = run_pipeline(frames, hl, hr, obj, narrs, tax3, args.out_dir,
+                          dilate_factor=args.dilate,
+                          shard_name=args.shard_name,
+                          shard_size=args.shard_size)
+    if args.flip_augment:
+        # Mirror frames and SWAP hand masks (reference horizontal_flip.py).
+        # The 3-dim taxonomy [unimanual, sym, asym] is flip-invariant: the
+        # left/right split happens later from which masks exist.
+        flipped = np.flip(frames, axis=2).copy()
+        fl = np.flip(hr, axis=2).copy()
+        fr = np.flip(hl, axis=2).copy()
+        fo = np.flip(obj, axis=2).copy()
+        shards += run_pipeline(
+            flipped, fl, fr, fo, narrs, tax3, args.out_dir,
+            dilate_factor=args.dilate,
+            shard_name="flipped_" + args.shard_name,
+            shard_size=args.shard_size)
+    print(f"wrote {len(shards)} shard pair(s) to {args.out_dir}")
+
+
+if __name__ == "__main__":
+    main()

@@ -133,9 +133,11 @@ def main(argv=None):
     dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
     model = LisaModel(cfg=cfg, dtype=dtype, remat=not args.no_remat)
 
+    # Per-process seed offset shards the random sampling across hosts
+    # (the DistributedSampler analog, reference train_ds.py:418-420).
     ds = AffDataset(args.dataset_dir,
                     samples_per_epoch=args.samples_per_epoch,
-                    seed=args.seed)
+                    seed=args.seed + 1000 * jax.process_index())
     print(f"dataset size: {ds.size}; samples/epoch "
           f"{args.samples_per_epoch}")
 
