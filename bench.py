@@ -75,7 +75,7 @@ def run(batch: int, iters: int = 10):
 
 
 def main():
-    for batch in (8, 4, 2, 1):
+    for batch in (16, 8, 4, 2, 1):
         try:
             fps = run(batch)
             break
