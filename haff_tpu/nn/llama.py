@@ -90,11 +90,13 @@ class LlamaAttention(nn.Module):
     cfg: LlamaConfig
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    # static (module attribute, not a traced call arg: nn.remat would
+    # turn a bool argument into a tracer and break LoRA dropout gating)
+    deterministic: bool = True
 
     @nn.compact
     def __call__(self, x, positions, segment_ids=None, kv_cache=None,
-                 cache_index=None, cache_kv_segment_ids=None,
-                 deterministic=True):
+                 cache_index=None, cache_kv_segment_ids=None):
         """x: (B, L, E).
 
         Two modes:
@@ -120,7 +122,7 @@ class LlamaAttention(nn.Module):
                       alpha=cfg.lora_alpha, dropout=cfg.lora_dropout,
                       dtype=self.dtype, param_dtype=self.param_dtype,
                       kernel_axes=(EMBED, HEADS), name="q_proj")(
-                          x, deterministic=deterministic)
+                          x, deterministic=self.deterministic)
         q = q.reshape(b, l, nh, hd)
         k = _dense(nkv * hd, "k_proj", (EMBED, KV_HEADS), self.dtype,
                    self.param_dtype)(x).reshape(b, l, nkv, hd)
@@ -128,7 +130,7 @@ class LlamaAttention(nn.Module):
                       alpha=cfg.lora_alpha, dropout=cfg.lora_dropout,
                       dtype=self.dtype, param_dtype=self.param_dtype,
                       kernel_axes=(EMBED, KV_HEADS), name="v_proj")(
-                          x, deterministic=deterministic)
+                          x, deterministic=self.deterministic)
         v = v.reshape(b, l, nkv, hd)
 
         table = rope_table(hd, cfg.max_seq_len, cfg.rope_theta)
@@ -194,19 +196,20 @@ class LlamaBlock(nn.Module):
     cfg: LlamaConfig
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    deterministic: bool = True
 
     @nn.compact
     def __call__(self, x, positions, segment_ids=None, kv_cache=None,
-                 cache_index=None, cache_kv_segment_ids=None,
-                 deterministic=True):
+                 cache_index=None, cache_kv_segment_ids=None):
         attn_out, new_cache = LlamaAttention(
             cfg=self.cfg, dtype=self.dtype, param_dtype=self.param_dtype,
+            deterministic=self.deterministic,
             name="self_attn")(
                 RMSNorm(eps=self.cfg.rms_norm_eps,
                         param_dtype=self.param_dtype,
                         name="input_layernorm")(x),
                 positions, segment_ids, kv_cache, cache_index,
-                cache_kv_segment_ids, deterministic)
+                cache_kv_segment_ids)
         x = x + attn_out
         mlp_out = LlamaMLP(
             cfg=self.cfg, dtype=self.dtype, param_dtype=self.param_dtype,
@@ -243,9 +246,11 @@ class LlamaModel(nn.Module):
             cache = kv_caches[i] if kv_caches is not None else None
             x, new_cache = block_cls(
                 cfg=self.cfg, dtype=self.dtype,
-                param_dtype=self.param_dtype, name=f"layers_{i}")(
+                param_dtype=self.param_dtype,
+                deterministic=bool(deterministic),
+                name=f"layers_{i}")(
                     x, positions, segment_ids, cache, cache_index,
-                    cache_kv_segment_ids, deterministic)
+                    cache_kv_segment_ids)
             new_caches.append(new_cache)
         x = RMSNorm(eps=self.cfg.rms_norm_eps, param_dtype=self.param_dtype,
                     name="norm")(x)

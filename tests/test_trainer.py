@@ -153,3 +153,20 @@ def test_sharded_train_step_8dev(setup):
     # params stayed sharded on the mesh
     leaf = jax.tree_util.tree_leaves(state.trainable)[0]
     assert len(leaf.sharding.device_set) >= 1
+
+
+def test_remat_with_lora_dropout(setup):
+    """remat + LoRA dropout: `deterministic` must stay static (a traced
+    bool under nn.remat broke this combination; the train bench caught
+    it on chip)."""
+    cfg, model, batch, params = setup
+    model_remat = LisaModel(cfg=cfg, remat=True)
+    variables = jax.jit(model_remat.init)(jax.random.PRNGKey(0), batch)
+    p = nn.unbox(variables["params"])
+    trainable, frozen = partition_params(p)
+    tcfg = TrainConfig(model=cfg, lr=1e-3, warmup_steps=0, total_steps=10,
+                       grad_accumulation_steps=1)
+    state = init_train_state(tcfg, trainable)
+    step = jax.jit(make_train_step(model_remat, tcfg))
+    state, metrics = step(state, frozen, batch, jax.random.PRNGKey(0))
+    assert np.isfinite(float(metrics["loss"]))
