@@ -28,18 +28,21 @@ def xla_path(q, k, v, rel_h, rel_w, hw):
 
 def test_fused_forward_matches_xla():
     q, k, v, rel_h, rel_w, hw = make_inputs()
-    ours = sam_global_attention(q, k, v, rel_h, rel_w, hw, block_q=64)
+    ours = sam_global_attention(q, k, v, rel_h, rel_w, hw, block_q=128)
     ref = xla_path(q, k, v, rel_h, rel_w, hw)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(ref),
                                rtol=3e-4, atol=3e-4)
 
 
 def test_fused_backward_matches_xla():
-    q, k, v, rel_h, rel_w, hw = make_inputs(H=8, W=8, b=1)
+    # H*W must be >= 256 so the public API actually takes the fused path
+    # (smaller grids fall back to XLA and the test would compare XLA to
+    # itself).
+    q, k, v, rel_h, rel_w, hw = make_inputs(H=16, W=16, b=1)
 
     def loss_fused(q, k, v):
         return jnp.sum(sam_global_attention(
-            q, k, v, rel_h, rel_w, hw, block_q=32) ** 2)
+            q, k, v, rel_h, rel_w, hw, block_q=128) ** 2)
 
     def loss_ref(q, k, v):
         return jnp.sum(xla_path(q, k, v, rel_h, rel_w, hw) ** 2)
