@@ -74,7 +74,10 @@ class SemSegDataset:
 
 class Refer:
     """Minimal REFER-style API over refs(<split>).json + instances.json
-    (reference utils/refer.py surface: getRefIds/loadRefs/getMask)."""
+    (reference utils/refer.py surface: getRefIds/loadRefs/getMask).
+    Also covers the gRefCOCO generalization (reference utils/grefer.py):
+    `ann_id` may be a LIST (multi-target refs — masks are unioned) or
+    empty/None/-1 (no-target refs — an all-zero mask)."""
 
     def __init__(self, refs_json: str, instances_json: str):
         with open(refs_json) as f:
@@ -94,9 +97,17 @@ class Refer:
     def get_mask(self, ref: Dict) -> np.ndarray:
         from ..eval.annotations import coco_annotation_to_mask
 
-        ann = self.anns[ref["ann_id"]]
         im = self.imgs[ref["image_id"]]
-        return coco_annotation_to_mask(ann, (im["height"], im["width"]))
+        shape = (im["height"], im["width"])
+        ann_ids = ref.get("ann_id")
+        if not isinstance(ann_ids, list):
+            ann_ids = [ann_ids]
+        mask = np.zeros(shape, np.uint8)
+        for aid in ann_ids:
+            if aid in (None, -1, "") or aid not in self.anns:
+                continue  # no-target component (gRefCOCO)
+            mask |= coco_annotation_to_mask(self.anns[aid], shape)
+        return mask
 
     def image_file(self, ref: Dict) -> str:
         return self.imgs[ref["image_id"]]["file_name"]

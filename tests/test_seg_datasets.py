@@ -68,3 +68,38 @@ def test_refer_seg_dataset(refer_dir):
     s = ds.get(0)
     assert "red mug" in s.question
     assert s.mask_left.sum() > 0
+
+
+def test_grefer_multi_and_no_target(tmp_path):
+    """gRefCOCO generalization: list ann_ids union; empty -> zero mask."""
+    import cv2
+
+    from haff_tpu.data.seg_datasets import Refer
+
+    img = (np.random.RandomState(2).rand(20, 30, 3) * 255).astype(np.uint8)
+    cv2.imwrite(str(tmp_path / "im.jpg"), img)
+    instances = {
+        "images": [{"id": 1, "file_name": "im.jpg", "height": 20,
+                    "width": 30}],
+        "annotations": [
+            {"id": 10, "image_id": 1,
+             "segmentation": [[1, 1, 8, 1, 8, 8, 1, 8]]},
+            {"id": 11, "image_id": 1,
+             "segmentation": [[15, 10, 25, 10, 25, 18, 15, 18]]},
+        ],
+        "categories": [],
+    }
+    refs = [
+        {"ref_id": 1, "ann_id": [10, 11], "image_id": 1, "split": "train",
+         "sentences": [{"sent": "both things"}]},
+        {"ref_id": 2, "ann_id": [], "image_id": 1, "split": "train",
+         "sentences": [{"sent": "the unicorn"}]},
+    ]
+    (tmp_path / "instances.json").write_text(json.dumps(instances))
+    (tmp_path / "refs.json").write_text(json.dumps(refs))
+    refer = Refer(str(tmp_path / "refs.json"),
+                  str(tmp_path / "instances.json"))
+    m1 = refer.get_mask(refer.load_ref(1))
+    assert m1[4, 4] == 1 and m1[14, 20] == 1  # union of both anns
+    m2 = refer.get_mask(refer.load_ref(2))
+    assert m2.sum() == 0  # no-target
