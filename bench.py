@@ -75,14 +75,21 @@ def run(batch: int, iters: int = 10):
 
 
 def main():
+    fps = None
     for batch in (16, 8, 4, 2, 1):
-        try:
-            fps = run(batch)
+        # The remote compile helper fails intermittently (opaque HTTP 500);
+        # retry each batch size once before shrinking.
+        for attempt in range(2):
+            try:
+                fps = run(batch)
+                break
+            except Exception as e:  # flaky compile / OOM -> retry, shrink
+                print(f"# batch {batch} attempt {attempt} failed: "
+                      f"{type(e).__name__}: {str(e)[:200]}",
+                      file=sys.stderr)
+                fps = None
+        if fps is not None:
             break
-        except Exception as e:  # OOM etc. -> shrink batch
-            print(f"# batch {batch} failed: {type(e).__name__}: "
-                  f"{str(e)[:200]}", file=sys.stderr)
-            fps = None
     if fps is None:
         print(json.dumps(dict(metric="affordance_mask_frames_per_sec_chip",
                               value=0.0, unit="frames/s",
