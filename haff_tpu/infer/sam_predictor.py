@@ -41,9 +41,7 @@ class SamPredictor:
 
             return self.model.apply(p, method=fn)
 
-        import functools
-
-        self._decode = jax.jit(_decode, static_argnames=())
+        self._decode = jax.jit(_decode)
 
     def set_image(self, image: np.ndarray) -> None:
         """image: (H, W, 3) uint8 RGB."""

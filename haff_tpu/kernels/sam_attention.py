@@ -50,8 +50,7 @@ def _band_tables(q, rel_h, rel_w, hw: Tuple[int, int]):
 
 
 def _fused_kernel(q_ref, k_ref, v_ref, bht_ref, bw_ref, o_ref,
-                  acc_ref, m_ref, l_ref, *, sm_scale, num_kb, rows, W,
-                  interpret):
+                  acc_ref, m_ref, l_ref, *, sm_scale, num_kb, rows, W):
     # q_ref (1, block_q, d); k_ref/v_ref (1, rows*W, d) — `rows` image
     # rows per k step; bht_ref (1, 1, rows, block_q) = Bh columns for
     # these k-rows (transposed layout); bw_ref (1, block_q, W).
@@ -131,7 +130,7 @@ def _fused_fwd(q, k, v, rel_h, rel_w, hw, sm_scale, block_q, interpret,
 
     out = pl.pallas_call(
         functools.partial(_fused_kernel, sm_scale=sm_scale, num_kb=nk,
-                          rows=rows, W=W, interpret=interpret),
+                          rows=rows, W=W),
         grid=(b * nh, nq, nk),
         in_specs=[
             pl.BlockSpec((1, block_q, d), lambda g0, g1, g2: (g0, g1, 0)),
