@@ -282,8 +282,12 @@ def _window_fwd(q, k, v, rel_h, rel_w, hw, sm_scale, interpret):
     bw_, l, nh, d = q.shape
     # Bias in the compute dtype: in bf16 mode this halves the dominant
     # HBM traffic (the materialized (BW, nh, L, L) bias); fp32 runs keep
-    # fp32 bias, so golden tests stay exact.
-    bias = decomposed_rel_pos_bias(q, rel_h, rel_w, hw, hw).astype(q.dtype)
+    # fp32 bias, so golden tests stay exact. The band terms are cast
+    # BEFORE the broadcast-add so no full-size fp32 intermediate exists.
+    Bh, Bw = _band_tables(q, rel_h, rel_w, hw)
+    bias = (Bh.reshape(bw_, nh, l, wh, 1).astype(q.dtype)
+            + Bw.reshape(bw_, nh, l, 1, ww).astype(q.dtype)
+            ).reshape(bw_, nh, l, l)
     qf = q.transpose(0, 2, 1, 3)  # (BW, nh, L, d)
     kf = k.transpose(0, 2, 1, 3)
     vf = v.transpose(0, 2, 1, 3)
