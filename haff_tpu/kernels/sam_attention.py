@@ -10,10 +10,18 @@ layer. TPU-native reformulation:
                = Bh[i, kh_j] + Bw[i, kw_j]
 
 where Bh = einsum(q, Rh) is only (L, H) and Bw = einsum(q, Rw) is (L, W)
-— a few MB. With k-blocks aligned to image rows (block_k == W), kh_j is
-CONSTANT within a k-step and kw_j enumerates 0..W-1, so the bias tile is
-a broadcast add of one Bh column and the Bw tile: no gathers, no (L, L)
-materialization, flash-attention memory profile.
+— a few MB. The bias is then folded INTO the QK matmul by augmenting the
+feature dimension:
+
+    [q * scale, Bh, Bw] @ [k, OneHotRow, OneHotCol]^T
+        = scale * q k^T + Bh[i, row(j)] + Bw[i, col(j)]
+
+OneHotRow[j, r] = (row(j) == r), OneHotCol[j, c] = (col(j) == c). The
+head dim grows 80 -> 80+H+W, which the MXU pads toward 128/256 lanes
+anyway, so on TPU the bias costs (nearly) nothing: no (L, L) bias is
+ever materialized, no gather, no bias operand streaming — a plain
+flash-attention kernel consumes the augmented operands, and the matmuls
+run in the compute dtype (bf16 on chip) instead of fp32.
 
 The backward runs as a k-row-banded XLA scan (same O(L*W) working set).
 Gradients flow to q (including through the bias), k and v; the rel-pos
@@ -30,6 +38,7 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -49,13 +58,44 @@ def _band_tables(q, rel_h, rel_w, hw: Tuple[int, int]):
     return Bh, Bw
 
 
-def _fused_kernel(q_ref, k_ref, v_ref, bht_ref, bw_ref, o_ref,
-                  acc_ref, m_ref, l_ref, *, sm_scale, num_kb, rows, W):
-    # q_ref (1, block_q, d); k_ref/v_ref (1, rows*W, d) — `rows` image
-    # rows per k step; bht_ref (1, 1, rows, block_q) = Bh columns for
-    # these k-rows (transposed layout); bw_ref (1, block_q, W).
+def _expanders(hw: Tuple[int, int], dtype):
+    """One-hot row/col expanders (L, H) and (L, W): static constants."""
+    H, W = hw
+    rows = np.arange(H * W) // W
+    cols = np.arange(H * W) % W
+    Eh = (rows[:, None] == np.arange(H)[None, :]).astype(np.float32)
+    Ew = (cols[:, None] == np.arange(W)[None, :]).astype(np.float32)
+    return jnp.asarray(Eh, dtype), jnp.asarray(Ew, dtype)
+
+
+def _augmented_qk(q, k, rel_h, rel_w, hw, sm_scale):
+    """Build (B, nh, L, d+H+W) augmented q/k carrying the bias.
+
+    qa = [q * sm_scale, Bh, Bw]; ka = [k, OneHotRow, OneHotCol]. All in
+    the input dtype (bf16 on chip keeps the bias bf16 — same precision
+    as the previously materialized bf16 bias; fp32 inputs stay fp32, so
+    golden tests remain exact).
+    """
+    b, l, nh, d = q.shape
+    dt = q.dtype
+    Bh, Bw = _band_tables(q, rel_h, rel_w, hw)  # fp32 (B, nh, L, H/W)
+    qs = (q.astype(jnp.float32) * sm_scale).astype(dt)
+    qa = jnp.concatenate(
+        [qs.transpose(0, 2, 1, 3), Bh.astype(dt), Bw.astype(dt)], axis=-1)
+    Eh, Ew = _expanders(hw, dt)
+    ka = jnp.concatenate(
+        [k.transpose(0, 2, 1, 3),
+         jnp.broadcast_to(Eh, (b, nh) + Eh.shape),
+         jnp.broadcast_to(Ew, (b, nh) + Ew.shape)], axis=-1)
+    return qa, ka
+
+
+def _fused_kernel(qa_ref, ka_ref, v_ref, o_ref,
+                  acc_ref, m_ref, l_ref, *, num_kb):
+    # qa_ref (1, block_q, da); ka_ref (1, block_k, da); v_ref (1, block_k, d).
+    # The bias lives inside the augmented features — this is a plain
+    # flash-attention step in the compute dtype.
     ki = pl.program_id(2)
-    block_q = q_ref.shape[1]
 
     @pl.when(ki == 0)
     def _init():
@@ -63,23 +103,11 @@ def _fused_kernel(q_ref, k_ref, v_ref, bht_ref, bw_ref, o_ref,
         m_ref[:] = jnp.full_like(m_ref, -jnp.inf)
         l_ref[:] = jnp.zeros_like(l_ref)
 
-    q = q_ref[0].astype(jnp.float32) * sm_scale
-    k_blk = k_ref[0].astype(jnp.float32)
+    qa = qa_ref[0]
+    ka = ka_ref[0]
     v_blk = v_ref[0]
-    s = jnp.dot(q, k_blk.T, preferred_element_type=jnp.float32)
-
-    # bias[i, r*W + w] = Bh[i, row_r] + Bw[i, w]: expand each Bh column
-    # across the W lanes of its row block, tile Bw across rows.
-    # NOTE: pltpu.repeat TILES ([c0, c1, c0, c1]) rather than expanding
-    # per element ([c0, c0, c1, c1]) — verified on chip — so the
-    # expansion is a static concat of broadcast column slices; the same
-    # code runs in interpret and compiled modes (no test-blind branch).
-    bh_cols = bht_ref[0, 0].astype(jnp.float32)        # (rows, block_q)
-    bh_t = bh_cols.T                                    # (block_q, rows)
-    bw = bw_ref[0].astype(jnp.float32)                  # (block_q, W)
-    bias = jnp.concatenate(
-        [bh_t[:, r:r + 1] + bw for r in range(rows)], axis=1)
-    s = s + bias
+    s = jax.lax.dot_general(qa, ka, (((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32)
 
     m_prev = m_ref[:]
     l_prev = l_ref[:]
@@ -97,48 +125,32 @@ def _fused_kernel(q_ref, k_ref, v_ref, bht_ref, bw_ref, o_ref,
 
 
 def _fused_fwd(q, k, v, rel_h, rel_w, hw, sm_scale, block_q, interpret,
-               rows_per_kb: int = 16):
+               block_k: int = 1024):
     H, W = hw
     b, l, nh, d = q.shape
     assert l == H * W
-    Bh, Bw = _band_tables(q, rel_h, rel_w, hw)
-    qf = q.transpose(0, 2, 1, 3).reshape(b * nh, l, d)
-    kf = k.transpose(0, 2, 1, 3).reshape(b * nh, l, d)
+    qa, ka = _augmented_qk(q, k, rel_h, rel_w, hw, sm_scale)
+    da = d + H + W
+    qa = qa.reshape(b * nh, l, da)
+    ka = ka.reshape(b * nh, l, da)
     vf = v.transpose(0, 2, 1, 3).reshape(b * nh, l, d)
-
-    rows = rows_per_kb
-    while H % rows:
-        rows //= 2
-    rows = max(rows, 1)
-    block_k = rows * W
-    # Bh transposed so per-k-step columns sit in blockable dims:
-    # (R, nkb, rows, L).
-    BhT = Bh.reshape(b * nh, l, H).transpose(0, 2, 1)   # (R, H, L)
-    BhT = BhT.reshape(b * nh, H // rows, rows, l)
-    Bwf = Bw.reshape(b * nh, l, W)
 
     block_q = min(block_q, l)
     while l % block_q:
         block_q //= 2
-    # The BhT block's last dim is block_q: Mosaic needs it 128-divisible
-    # or equal to the full dim (callers' public entry falls back to XLA
-    # for small grids; this guards direct use).
-    assert block_q % 128 == 0 or block_q == l, (
-        f"block_q={block_q} must be a multiple of 128 (or == L={l})")
+    block_k = min(block_k, l)
+    while l % block_k:
+        block_k //= 2
     nq = l // block_q
-    nk = H // rows
+    nk = l // block_k
 
     out = pl.pallas_call(
-        functools.partial(_fused_kernel, sm_scale=sm_scale, num_kb=nk,
-                          rows=rows, W=W),
+        functools.partial(_fused_kernel, num_kb=nk),
         grid=(b * nh, nq, nk),
         in_specs=[
-            pl.BlockSpec((1, block_q, d), lambda g0, g1, g2: (g0, g1, 0)),
+            pl.BlockSpec((1, block_q, da), lambda g0, g1, g2: (g0, g1, 0)),
+            pl.BlockSpec((1, block_k, da), lambda g0, g1, g2: (g0, g2, 0)),
             pl.BlockSpec((1, block_k, d), lambda g0, g1, g2: (g0, g2, 0)),
-            pl.BlockSpec((1, block_k, d), lambda g0, g1, g2: (g0, g2, 0)),
-            pl.BlockSpec((1, 1, rows, block_q),
-                         lambda g0, g1, g2: (g0, g2, 0, g1)),
-            pl.BlockSpec((1, block_q, W), lambda g0, g1, g2: (g0, g1, 0)),
         ],
         out_specs=pl.BlockSpec((1, block_q, d),
                                lambda g0, g1, g2: (g0, g1, 0)),
@@ -149,7 +161,7 @@ def _fused_fwd(q, k, v, rel_h, rel_w, hw, sm_scale, block_q, interpret,
             pltpu.VMEM((block_q, 1), jnp.float32),
         ],
         interpret=interpret,
-    )(qf, kf, vf, BhT, Bwf)
+    )(qa, ka, vf)
     return out.reshape(b, nh, l, d).transpose(0, 2, 1, 3)
 
 
@@ -255,7 +267,10 @@ def _window_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, sm_scale):
     from the band tables crashes the Mosaic compiler at full size; the
     expansion is a cheap fused XLA broadcast-add and the per-window bias
     block is ~1 MB of VMEM). The attention matrix itself never touches
-    HBM — that is the win over the XLA path (5.9 vs 17.5 ms/block)."""
+    HBM — that is the win over the XLA path (5.9 vs 17.5 ms/block).
+    NOTE: the augmented-feature trick used by the global kernel was
+    measured 8% SLOWER here (window L=196: the extra qa/ka concat copies
+    dominate; at L=4096 the bias-operand streaming dominates instead)."""
     q = q_ref[0].astype(jnp.float32) * sm_scale   # (nh, L, d)
     k = k_ref[0].astype(jnp.float32)
     v = v_ref[0]
