@@ -94,6 +94,8 @@ def main(argv=None):
     p.add_argument("--model_preset", default="7b")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--tokenizer", default=None)
+    p.add_argument("--load_in_8bit", action="store_true")
+    p.add_argument("--kv_cache_8bit", action="store_true")
     p.add_argument("--threshold", type=float, default=0.5)
     args = p.parse_args(argv)
 
@@ -101,7 +103,9 @@ def main(argv=None):
 
     predictor = Predictor(model_preset=args.model_preset,
                           checkpoint=args.checkpoint,
-                          tokenizer=args.tokenizer)
+                          tokenizer=args.tokenizer,
+                          load_in_8bit=args.load_in_8bit,
+                          kv_cache_8bit=args.kv_cache_8bit)
     server = HTTPServer(("0.0.0.0", args.port),
                         make_handler(predictor, args.threshold))
     print(f"demo on http://0.0.0.0:{args.port}")

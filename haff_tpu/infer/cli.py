@@ -66,6 +66,13 @@ def main(argv=None):
                    default=[0.1, 0.2, 0.3, 0.5, 0.7])
     p.add_argument("--precision", default="bf16",
                    choices=["bf16", "fp32"])
+    p.add_argument("--load_in_8bit", action="store_true",
+                   help="int8 weight-only LLM quantization (the TPU "
+                        "analog of the reference's bitsandbytes path; "
+                        "visual model stays full precision)")
+    p.add_argument("--kv_cache_8bit", action="store_true",
+                   help="store the decode KV cache as int8 with per "
+                        "token-head scales")
     args = p.parse_args(argv)
 
     import jax
@@ -109,8 +116,17 @@ def main(argv=None):
         params, step = restore_checkpoint(args.checkpoint, params)
         print(f"restored checkpoint step {step}")
 
+    scales = None
+    if args.load_in_8bit:
+        from ..nn.quant import default_llm_predicate, quantize_tree
+
+        params, scales = quantize_tree(params, default_llm_predicate)
     ev = make_jitted_evaluate(model, max_new_tokens=args.max_new_tokens,
-                              eos_id=tok.eos_token_id)
+                              eos_id=tok.eos_token_id,
+                              quant_scales=scales,
+                              quant_dtype=jnp.bfloat16
+                              if args.precision == "bf16" else jnp.float32,
+                              kv_cache_8bit=args.kv_cache_8bit)
 
     B = args.batch
     for start in range(0, len(ds), B):

@@ -38,7 +38,8 @@ class EvaluateResult(NamedTuple):
 
 def evaluate_fn(model: LisaModel, params, images_sam, images_clip,
                 input_ids, attention_mask, max_new_tokens: int,
-                eos_id: int) -> EvaluateResult:
+                eos_id: int, kv_cache_8bit: bool = False
+                ) -> EvaluateResult:
     """images_*: (B, ...) preprocessed; input_ids (B, L) with
     IMAGE_TOKEN_INDEX; attention_mask (B, L) 1 = real (right padding)."""
     cfg = model.cfg
@@ -60,7 +61,8 @@ def evaluate_fn(model: LisaModel, params, images_sam, images_clip,
 
     gen = greedy_generate(
         cfg.llama, embed_fn, llm_fn, sp.embeds, sp.positions,
-        sp.segment_ids, prompt_lengths, max_new_tokens, eos_id)
+        sp.segment_ids, prompt_lengths, max_new_tokens, eos_id,
+        kv_cache_8bit=kv_cache_8bit)
 
     # [SEG] gather: first emitted [SEG] token's source hidden state.
     is_seg = (gen.tokens == cfg.seg_token_idx) & (
@@ -86,14 +88,26 @@ def evaluate_fn(model: LisaModel, params, images_sam, images_clip,
 
 
 def make_jitted_evaluate(model: LisaModel, max_new_tokens: int,
-                         eos_id: int):
+                         eos_id: int, quant_scales=None,
+                         quant_dtype=jnp.bfloat16,
+                         kv_cache_8bit: bool = False):
     """Returns evaluate(params, images_sam, images_clip, input_ids,
-    attention_mask) jitted with static generation length."""
+    attention_mask) jitted with static generation length.
+
+    With `quant_scales` (from nn/quant.quantize_tree over the same
+    param tree), `params` holds int8 kernels for the selected layers;
+    they are dequantized to `quant_dtype` inside the jit, so the weights
+    live int8 in HBM (the TPU analog of the reference's bitsandbytes
+    serving path, inference.py:133-156)."""
 
     @jax.jit
     def _eval(params, images_sam, images_clip, input_ids, attention_mask):
+        if quant_scales is not None:
+            from ..nn.quant import dequantize_tree
+
+            params = dequantize_tree(params, quant_scales, quant_dtype)
         return evaluate_fn(model, params, images_sam, images_clip,
                            input_ids, attention_mask, max_new_tokens,
-                           eos_id)
+                           eos_id, kv_cache_8bit=kv_cache_8bit)
 
     return _eval

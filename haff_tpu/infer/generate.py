@@ -32,23 +32,29 @@ def greedy_generate(cfg: LlamaConfig,
                     llm_fn: Callable,
                     prompt_embeds, prompt_positions, prompt_segment_ids,
                     prompt_lengths, max_new_tokens: int,
-                    eos_id: int, cache_dtype=jnp.bfloat16) -> GenerateResult:
+                    eos_id: int, cache_dtype=jnp.bfloat16,
+                    kv_cache_8bit: bool = False) -> GenerateResult:
     """embed_fn(tokens (B,1)) -> (B,1,E).
     llm_fn(embeds, positions, segment_ids, kv_caches, cache_index,
     cache_kv_segment_ids) -> (logits, hidden, kv_caches).
 
     prompt_*: spliced prompt arrays (B, L, ...); prompt_lengths (B,) real
-    token counts (right padding)."""
+    token counts (right padding). kv_cache_8bit stores the cache as int8
+    with per token-head scales (nn/quant.QuantArray)."""
     b, l, _ = prompt_embeds.shape
     max_len = l + max_new_tokens
 
-    caches = [
-        (jnp.zeros((b, max_len, cfg.num_kv_heads, cfg.head_dim),
-                   cache_dtype),
-         jnp.zeros((b, max_len, cfg.num_kv_heads, cfg.head_dim),
-                   cache_dtype))
-        for _ in range(cfg.num_layers)
-    ]
+    shape = (b, max_len, cfg.num_kv_heads, cfg.head_dim)
+
+    def one_cache():
+        if kv_cache_8bit:
+            from ..nn.quant import QuantArray
+
+            return QuantArray(jnp.zeros(shape, jnp.int8),
+                              jnp.ones(shape[:-1] + (1,), jnp.float32))
+        return jnp.zeros(shape, cache_dtype)
+
+    caches = [(one_cache(), one_cache()) for _ in range(cfg.num_layers)]
 
     # Prefill: flash attention over the prompt, k/v written into caches.
     logits, hidden, caches = llm_fn(

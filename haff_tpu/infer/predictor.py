@@ -18,7 +18,8 @@ class Predictor:
     def __init__(self, model_preset: str = "7b",
                  checkpoint: Optional[str] = None,
                  tokenizer: Optional[str] = None, precision: str = "bf16",
-                 max_new_tokens: int = 32, max_text_len: int = 320):
+                 max_new_tokens: int = 32, max_text_len: int = 320,
+                 load_in_8bit: bool = False, kv_cache_8bit: bool = False):
         import jax
         import jax.numpy as jnp
 
@@ -53,9 +54,16 @@ class Predictor:
             from ..train.checkpoints import restore_checkpoint
 
             self.params, _ = restore_checkpoint(checkpoint, self.params)
+        scales = None
+        if load_in_8bit:
+            from ..nn.quant import default_llm_predicate, quantize_tree
+
+            self.params, scales = quantize_tree(self.params,
+                                                default_llm_predicate)
         self._eval = make_jitted_evaluate(
             self.model, max_new_tokens=max_new_tokens,
-            eos_id=self.tok.eos_token_id)
+            eos_id=self.tok.eos_token_id, quant_scales=scales,
+            quant_dtype=dtype, kv_cache_8bit=kv_cache_8bit)
 
     def __call__(self, image: np.ndarray, prompt: str
                  ) -> Tuple[str, np.ndarray, np.ndarray, np.ndarray]:

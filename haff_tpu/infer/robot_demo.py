@@ -99,6 +99,8 @@ def main(argv=None):
     p.add_argument("--model_preset", default="7b")
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--tokenizer", default=None)
+    p.add_argument("--load_in_8bit", action="store_true")
+    p.add_argument("--kv_cache_8bit", action="store_true")
     p.add_argument("--th", type=float, default=-5.0)
     p.add_argument("--force_left", action="store_true")
     p.add_argument("--force_right", action="store_true")
@@ -115,7 +117,9 @@ def main(argv=None):
              "both" if args.force_both else "")
     predictor = Predictor(model_preset=args.model_preset,
                           checkpoint=args.checkpoint,
-                          tokenizer=args.tokenizer)
+                          tokenizer=args.tokenizer,
+                          load_in_8bit=args.load_in_8bit,
+                          kv_cache_8bit=args.kv_cache_8bit)
     os.makedirs(os.path.join(args.root, "in"), exist_ok=True)
     print(f"polling {args.root}/in ...")
     i = 0

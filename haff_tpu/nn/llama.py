@@ -137,6 +137,9 @@ class LlamaAttention(nn.Module):
         q = apply_rope(q, positions, table)
         k = apply_rope(k, positions, table)
 
+        from .quant import QuantArray, dequantize_activation, \
+            quantize_activation
+
         new_cache = None
         if kv_cache is not None:
             ck, cv = kv_cache
@@ -145,14 +148,28 @@ class LlamaAttention(nn.Module):
             write = jax.vmap(
                 lambda c, kk, i: jax.lax.dynamic_update_slice(
                     c, kk, (i, 0, 0)))
-            ck = write(ck, k.astype(ck.dtype), cache_index)
-            cv = write(cv, v.astype(cv.dtype), cache_index)
+            if isinstance(ck, QuantArray):
+                # int8 KV cache: per token-head symmetric quantization
+                # (the TPU analog of kv-cache 8-bit serving; halves the
+                # cache footprint and decode-time HBM streaming).
+                qk, qv = quantize_activation(k), quantize_activation(v)
+                ck = QuantArray(write(ck.values, qk.values, cache_index),
+                                write(ck.scales, qk.scales, cache_index))
+                cv = QuantArray(write(cv.values, qv.values, cache_index),
+                                write(cv.scales, qv.scales, cache_index))
+            else:
+                ck = write(ck, k.astype(ck.dtype), cache_index)
+                cv = write(cv, v.astype(cv.dtype), cache_index)
             new_cache = (ck, cv)
 
         if kv_cache is not None and l == 1:
             # Decode step: attend over live cache slots.
             ck, cv = new_cache
-            k_full, v_full = ck, cv
+            if isinstance(ck, QuantArray):
+                k_full = dequantize_activation(ck, q.dtype)
+                v_full = dequantize_activation(cv, q.dtype)
+            else:
+                k_full, v_full = ck, cv
             if nkv != nh:
                 rep = nh // nkv
                 k_full = jnp.repeat(k_full, rep, axis=2)

@@ -10,12 +10,34 @@ HBM weight traffic and footprint drop 2x vs bf16 / 4x vs f32.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, Tuple
+from typing import Callable, Dict, NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import traverse_util
+
+
+class QuantArray(NamedTuple):
+    """int8 values + broadcastable f32 scales; a pytree, so it flows
+    through lax.scan carries (used for the int8 KV cache)."""
+
+    values: jnp.ndarray
+    scales: jnp.ndarray
+
+
+def quantize_activation(x: jnp.ndarray, axis: int = -1) -> QuantArray:
+    """Symmetric per-slice int8 over `axis` (e.g. per token-head for KV
+    cache entries: head_dim is the reduced axis)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=axis, keepdims=True)
+    scale = jnp.where(amax == 0, 1.0, amax / 127.0)
+    q = jnp.clip(jnp.round(xf / scale), -127, 127).astype(jnp.int8)
+    return QuantArray(values=q, scales=scale)
+
+
+def dequantize_activation(qa: QuantArray, dtype=jnp.bfloat16) -> jnp.ndarray:
+    return (qa.values.astype(jnp.float32) * qa.scales).astype(dtype)
 
 
 def quantize_kernel(w: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -40,10 +62,26 @@ def quantized_matmul(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray
     return (y * scale).astype(x.dtype)
 
 
+def _unboxed(v):
+    """Param leaves may be flax AxisMetadata boxes (LogicallyPartitioned
+    sharding annotations); read through them."""
+    from flax.core import meta
+
+    return v.unbox() if isinstance(v, meta.AxisMetadata) else v
+
+
+def _rebox(template, value):
+    from flax.core import meta
+
+    if isinstance(template, meta.AxisMetadata):
+        return template.replace_boxed(value)
+    return value
+
+
 def quantize_tree(params: Dict,
                   should_quantize: Callable[[Tuple[str, ...]], bool]
                   ) -> Tuple[Dict, Dict]:
-    """Quantize selected 2D kernels in a param tree.
+    """Quantize selected 2D kernels in a param tree (boxed or raw).
 
     Returns (new_params, qinfo) where quantized kernels are replaced by
     int8 arrays and qinfo maps the same flattened keys to scales. The
@@ -51,10 +89,11 @@ def quantize_tree(params: Dict,
     flat = dict(traverse_util.flatten_dict(params))
     scales = {}
     for k, v in list(flat.items()):
-        if (k[-1] == "kernel" and getattr(v, "ndim", 0) == 2
+        arr = _unboxed(v)
+        if (k[-1] == "kernel" and getattr(arr, "ndim", 0) == 2
                 and should_quantize(k)):
-            q, s = quantize_kernel(v)
-            flat[k] = q
+            q, s = quantize_kernel(arr)
+            flat[k] = _rebox(v, q)
             scales[k] = s
     return traverse_util.unflatten_dict(flat), scales
 
@@ -65,7 +104,8 @@ def dequantize_tree(params: Dict, scales: Dict,
     XLA keeps weights int8 in HBM and fuses the casts)."""
     flat = dict(traverse_util.flatten_dict(params))
     for k, s in scales.items():
-        flat[k] = dequantize_kernel(flat[k], s, dtype)
+        v = flat[k]
+        flat[k] = _rebox(v, dequantize_kernel(_unboxed(v), s, dtype))
     return traverse_util.unflatten_dict(flat)
 
 

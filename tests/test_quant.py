@@ -68,3 +68,79 @@ def test_llm_quantized_apply_close():
     top_ref = np.argmax(np.asarray(ref_logits), -1)
     top_q = np.argmax(np.asarray(q_logits), -1)
     assert (top_ref == top_q).mean() > 0.8
+
+
+def test_int8_kv_cache_decode_close():
+    """greedy_generate with an int8 KV cache tracks the fp32-cache run:
+    identical first token (prefill logits are cache-independent) and
+    close hiddens / mostly-identical tokens afterwards."""
+    from haff_tpu.core.config import LlamaConfig
+    from haff_tpu.infer.generate import greedy_generate
+    from haff_tpu.nn.llama import LlamaForCausalLM
+
+    cfg = LlamaConfig.preset("tiny")
+    model = LlamaForCausalLM(cfg=cfg)
+    b, lp, T = 2, 6, 4
+    rng = np.random.RandomState(3)
+    ids = jnp.asarray(rng.randint(2, cfg.vocab_size, (b, lp))
+                      .astype(np.int32))
+    pos = jnp.broadcast_to(jnp.arange(lp)[None], (b, lp))
+    params = model.init(jax.random.PRNGKey(0), ids, pos, method="init_all")
+
+    def embed_fn(tok):
+        return model.apply(params, tok, method="embed")
+
+    def llm_fn(emb, p, seg, caches, idx, kvseg):
+        return model.apply(params, emb, p, seg, caches, idx, kvseg)
+
+    seg = jnp.ones((b, lp), jnp.int32)
+    lengths = jnp.full((b,), lp, jnp.int32)
+    ref = greedy_generate(cfg, embed_fn, llm_fn, embed_fn(ids), pos, seg,
+                          lengths, T, eos_id=0, cache_dtype=jnp.float32)
+    q = greedy_generate(cfg, embed_fn, llm_fn, embed_fn(ids), pos, seg,
+                        lengths, T, eos_id=0, kv_cache_8bit=True)
+    np.testing.assert_array_equal(np.asarray(ref.tokens[:, 0]),
+                                  np.asarray(q.tokens[:, 0]))
+    agree = (np.asarray(ref.tokens) == np.asarray(q.tokens)).mean()
+    assert agree >= 0.75, agree
+    np.testing.assert_allclose(np.asarray(q.hiddens[:, 0]),
+                               np.asarray(ref.hiddens[:, 0]),
+                               rtol=0.1, atol=0.1)
+
+
+def test_quantized_jitted_evaluate_runs():
+    """The serving path: int8 weights at rest + int8 KV cache through
+    make_jitted_evaluate produces the full contract on the tiny model."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_lisa_model import make_tiny_batch
+
+    from haff_tpu.core.config import ModelConfig
+    from haff_tpu.infer.evaluate import make_jitted_evaluate
+    from haff_tpu.model.lisa import LisaModel
+
+    cfg = ModelConfig.preset("tiny")
+    model = LisaModel(cfg=cfg)
+    batch = make_tiny_batch(cfg)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+
+    ref_ev = make_jitted_evaluate(model, max_new_tokens=3, eos_id=2)
+    ref = ref_ev(params, batch.images_sam, batch.images_clip,
+                 batch.input_ids[:2], batch.attention_mask[:2])
+
+    qparams, scales = quantize_tree(params, default_llm_predicate)
+    assert scales, "tiny preset must have quantizable projections"
+    ev = make_jitted_evaluate(model, max_new_tokens=3, eos_id=2,
+                              quant_scales=scales,
+                              quant_dtype=jnp.float32, kv_cache_8bit=True)
+    res = ev(qparams, batch.images_sam, batch.images_clip,
+             batch.input_ids[:2], batch.attention_mask[:2])
+    S = cfg.sam_encoder.image_size
+    assert res.pred_masks_left.shape == (2, S, S)
+    assert np.isfinite(np.asarray(res.pred_masks_left)).all()
+    # The (frozen, unquantized) SAM path sees only the projected [SEG]
+    # embedding; int8 LLM error must not blow the masks apart.
+    ref_l = np.asarray(ref.pred_masks_left, np.float32)
+    q_l = np.asarray(res.pred_masks_left, np.float32)
+    assert np.abs(q_l - ref_l).mean() < 1.0
