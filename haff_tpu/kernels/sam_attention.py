@@ -258,77 +258,83 @@ def _fused_bwd_rule(hw, sm_scale, block_q, interpret, res, g):
 _fused.defvjp(_fused_fwd_rule, _fused_bwd_rule)
 
 
-def _window_kernel(q_ref, k_ref, v_ref, bias_ref, o_ref, *, sm_scale):
-    """One whole window per grid step, heads batched through Mosaic's
-    batched dot_general (verified supported on v5e).
+def _window_kernel(q_ref, k_ref, v_ref, bh_ref, bw_ref, eh_ref, ew_ref,
+                   o_ref, *, sm_scale):
+    """A group of whole windows*heads per grid step, batched through
+    Mosaic's batched dot_general (verified supported on v5e).
 
-    q/k/v/o refs: (1, nh, L, d); bias_ref (1, nh, L, L) — the decomposed
-    rel-pos bias is expanded OUTSIDE the kernel (constructing it in-kernel
-    from the band tables crashes the Mosaic compiler at full size; the
-    expansion is a cheap fused XLA broadcast-add and the per-window bias
-    block is ~1 MB of VMEM). The attention matrix itself never touches
-    HBM — that is the win over the XLA path (5.9 vs 17.5 ms/block).
-    NOTE: the augmented-feature trick used by the global kernel was
-    measured 8% SLOWER here (window L=196: the extra qa/ka concat copies
-    dominate; at L=4096 the bias-operand streaming dominates instead)."""
-    q = q_ref[0].astype(jnp.float32) * sm_scale   # (nh, L, d)
-    k = k_ref[0].astype(jnp.float32)
-    v = v_ref[0]
+    q/k/v/o refs (G, L, d); bh/bw (G, L, wh/ww) band tables; eh/ew
+    (L, wh/ww) one-hot expanders. The decomposed bias is folded into the
+    QK matmul IN KERNEL by feature augmentation:
+
+        [q*scale, Bh, Bw] @ [k, Eh, Ew]^T = scale*q k^T + bias
+
+    so the (BW, nh, L, L) bias is never materialized in HBM (that
+    materialization plus its re-read was ~20% of the old kernel's time;
+    an (L,L)-bias operand variant measured 4.8 ms/layer, this one 4.6,
+    the old one-window-per-step bias-operand kernel 5.9). The VMEM
+    concat is cheap at window size; the attention matrix itself never
+    touches HBM — that is the win over the XLA path (17.5 ms/block)."""
+    qq = (q_ref[...].astype(jnp.float32) * sm_scale).astype(q_ref.dtype)
+    g = qq.shape[0]
+    qa = jnp.concatenate([qq, bh_ref[...], bw_ref[...]], axis=2)
+    eh = jnp.broadcast_to(eh_ref[...][None], (g,) + eh_ref.shape)
+    ew = jnp.broadcast_to(ew_ref[...][None], (g,) + ew_ref.shape)
+    ka = jnp.concatenate([k_ref[...], eh, ew], axis=2)
     s = jax.lax.dot_general(
-        q, k, (((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)       # (nh, L, L)
-    s = s + bias_ref[0].astype(jnp.float32)
+        qa, ka, (((2,), (2,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32)       # (G, L, L)
+    v = v_ref[...]
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     p = p / jnp.sum(p, axis=-1, keepdims=True)
     o = jax.lax.dot_general(
         p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)       # (nh, L, d)
-    o_ref[0] = o.astype(o_ref.dtype)
+        preferred_element_type=jnp.float32)       # (G, L, d)
+    o_ref[...] = o.astype(o_ref.dtype)
 
 
 def _window_fwd(q, k, v, rel_h, rel_w, hw, sm_scale, interpret):
     """q/k/v: (BW, L, nh, d), L = wh*ww (one window per leading row).
 
-    Heads are chunked over a second grid dim: with all 16 ViT-H heads in
-    one block, the double-buffered q/k/v + fp32 bias blocks exceed the
-    16 MB VMEM budget and Mosaic's compile helper dies opaquely."""
+    Windows*heads are flattened into one batched dim and processed in
+    groups per grid step. Group size is VMEM-bound: the in-flight
+    (G, L, L) fp32 logits plus double-buffered operand blocks must stay
+    under the 16 MB scoped-vmem budget (G=16 bf16 compiles; G=16 fp32
+    OOMs at 19.75M — hence the itemsize-dependent cap)."""
     wh, ww = hw
     bw_, l, nh, d = q.shape
-    # Bias in the compute dtype: in bf16 mode this halves the dominant
-    # HBM traffic (the materialized (BW, nh, L, L) bias); fp32 runs keep
-    # fp32 bias, so golden tests stay exact. The band terms are cast
-    # BEFORE the broadcast-add so no full-size fp32 intermediate exists.
-    Bh, Bw = _band_tables(q, rel_h, rel_w, hw)
-    bias = (Bh.reshape(bw_, nh, l, wh, 1).astype(q.dtype)
-            + Bw.reshape(bw_, nh, l, 1, ww).astype(q.dtype)
-            ).reshape(bw_, nh, l, l)
-    qf = q.transpose(0, 2, 1, 3)  # (BW, nh, L, d)
-    kf = k.transpose(0, 2, 1, 3)
-    vf = v.transpose(0, 2, 1, 3)
+    Bh, Bw = _band_tables(q, rel_h, rel_w, hw)    # fp32 (BW, nh, L, *)
+    bh = Bh.astype(q.dtype).reshape(bw_ * nh, l, wh)
+    bw = Bw.astype(q.dtype).reshape(bw_ * nh, l, ww)
+    qf = q.transpose(0, 2, 1, 3).reshape(bw_ * nh, l, d)
+    kf = k.transpose(0, 2, 1, 3).reshape(bw_ * nh, l, d)
+    vf = v.transpose(0, 2, 1, 3).reshape(bw_ * nh, l, d)
+    Eh, Ew = _expanders(hw, q.dtype)              # (L, wh), (L, ww)
 
-    # Head-group size: keep (q+k+v+o) bf16 + bias fp32 blocks (double-
-    # buffered) plus the in-flight (nh_g, L, L) fp32 intermediates under
-    # ~12 MB.
-    nh_g = nh
-    while nh_g > 1 and nh_g * l * (3 * d * 2 + l * 4) * 2 > 4 * 2 ** 20:
-        nh_g //= 2
-    n_groups = nh // nh_g
+    g = bw_ * nh
+    group = 16 if jnp.dtype(q.dtype).itemsize <= 2 else 8
+    group = min(group, g)
+    while g % group:
+        group //= 2
 
     out = pl.pallas_call(
         functools.partial(_window_kernel, sm_scale=sm_scale),
-        grid=(bw_, n_groups),
+        grid=(g // group,),
         in_specs=[
-            pl.BlockSpec((1, nh_g, l, d), lambda g, h: (g, h, 0, 0)),
-            pl.BlockSpec((1, nh_g, l, d), lambda g, h: (g, h, 0, 0)),
-            pl.BlockSpec((1, nh_g, l, d), lambda g, h: (g, h, 0, 0)),
-            pl.BlockSpec((1, nh_g, l, l), lambda g, h: (g, h, 0, 0)),
+            pl.BlockSpec((group, l, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((group, l, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((group, l, d), lambda i: (i, 0, 0)),
+            pl.BlockSpec((group, l, wh), lambda i: (i, 0, 0)),
+            pl.BlockSpec((group, l, ww), lambda i: (i, 0, 0)),
+            pl.BlockSpec((l, wh), lambda i: (0, 0)),
+            pl.BlockSpec((l, ww), lambda i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, nh_g, l, d), lambda g, h: (g, h, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((bw_, nh, l, d), q.dtype),
+        out_specs=pl.BlockSpec((group, l, d), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((g, l, d), q.dtype),
         interpret=interpret,
-    )(qf, kf, vf, bias)
-    return out.transpose(0, 2, 1, 3)
+    )(qf, kf, vf, bh, bw, Eh, Ew)
+    return out.reshape(bw_, nh, l, d).transpose(0, 2, 1, 3)
 
 
 def _window_xla(q, k, v, rel_h, rel_w, hw, sm_scale):
