@@ -122,3 +122,42 @@ def test_merge_lora_folds_adapters():
     np.testing.assert_allclose(np.asarray(logits_lora),
                                np.asarray(logits_merged),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_export_model_roundtrip(tmp_path):
+    """Export the tiny decoder as a jax.export artifact; the loaded
+    artifact must reproduce the live module's outputs exactly
+    (reference onnx.py:17-157 capability analog)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from haff_tpu.core.config import ModelConfig
+    from haff_tpu.nn.sam import Sam
+    from haff_tpu.tools.export_model import load_exported, main
+
+    out = str(tmp_path / "dec.stablehlo")
+    main(["--component", "decoder", "--out", out,
+          "--model_preset", "tiny", "--precision", "fp32"])
+    assert os.path.getsize(out) > 0
+    assert os.path.exists(out + ".json")
+
+    cfg = ModelConfig.preset("tiny")
+    model = Sam(encoder_cfg=cfg.sam_encoder, decoder_cfg=cfg.sam_decoder)
+    S = cfg.sam_encoder.image_size
+    E = cfg.sam_decoder.prompt_embed_dim
+    img = jnp.zeros((1, S, S, 3), jnp.float32)
+    text0 = jnp.zeros((1, 1, E), jnp.float32)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), img, text0)
+
+    rng = np.random.RandomState(0)
+    G = cfg.sam_encoder.grid_size
+    C = cfg.sam_encoder.out_chans
+    emb = jnp.asarray(rng.randn(1, G, G, C).astype(np.float32))
+    text = jnp.asarray(rng.randn(1, 1, E).astype(np.float32))
+    ref = model.apply(params, emb, text, method="decode_masks")
+    got = load_exported(out)(emb, text)
+    assert len(got) == len(ref)
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
