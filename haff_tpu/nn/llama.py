@@ -25,7 +25,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.config import LlamaConfig
-from ..kernels.flash_attention import flash_attention, mha_reference
+from ..kernels.flash_attention import flash_attention
 
 # Logical axis names (mapped to mesh axes in parallel/sharding.py).
 EMBED = "embed"
@@ -137,8 +137,7 @@ class LlamaAttention(nn.Module):
         q = apply_rope(q, positions, table)
         k = apply_rope(k, positions, table)
 
-        from .quant import QuantArray, dequantize_activation, \
-            quantize_activation
+        from .quant import QuantArray, quantize_activation
 
         new_cache = None
         if kv_cache is not None:
@@ -163,22 +162,14 @@ class LlamaAttention(nn.Module):
             new_cache = (ck, cv)
 
         if kv_cache is not None and l == 1:
-            # Decode step: attend over live cache slots.
+            # Decode step: attend over live cache slots. Long caches
+            # stream through the flash-decode kernel (int8 caches are
+            # dequantized in VMEM); short ones fall back to XLA inside.
+            from ..kernels.decode_attention import flash_decode_attention
+
             ck, cv = new_cache
-            if isinstance(ck, QuantArray):
-                k_full = dequantize_activation(ck, q.dtype)
-                v_full = dequantize_activation(cv, q.dtype)
-            else:
-                k_full, v_full = ck, cv
-            if nkv != nh:
-                rep = nh // nkv
-                k_full = jnp.repeat(k_full, rep, axis=2)
-                v_full = jnp.repeat(v_full, rep, axis=2)
-            q_seg = jnp.ones((b, l), jnp.int32)
-            out = mha_reference(
-                q, k_full.astype(q.dtype), v_full.astype(q.dtype),
-                q_segment_ids=q_seg,
-                kv_segment_ids=cache_kv_segment_ids, causal=False)
+            out = flash_decode_attention(
+                q[:, 0], ck, cv, cache_kv_segment_ids)[:, None]
         else:
             if nkv != nh:
                 rep = nh // nkv

@@ -87,6 +87,31 @@ def main():
     except Exception as e:
         print(f"SKIP sam_window (compile): {type(e).__name__}")
 
+    # --- flash-decode attention (fp + int8 cache) ---
+    from ..kernels.decode_attention import _xla_path, flash_decode_attention
+    from ..nn.quant import quantize_activation
+
+    bd, lmax, nhd, nkvd, hdd = 2, 2048, 8, 4, 128
+    qd = jnp.asarray(rng.randn(bd, nhd, hdd).astype(np.float32) * 0.3)
+    kd = jnp.asarray(rng.randn(bd, lmax, nkvd, hdd).astype(np.float32) * 0.3)
+    vd = jnp.asarray(rng.randn(bd, lmax, nkvd, hdd).astype(np.float32))
+    maskd = np.zeros((bd, lmax), np.int32)
+    maskd[0, :700] = 1
+    maskd[1, :2041] = 1
+    maskd = jnp.asarray(maskd)
+    try:
+        ref = _xla_path(qd, kd, vd, maskd, hdd ** -0.5)
+        check("decode/fp", flash_decode_attention(qd, kd, vd, maskd,
+                                          use_kernel=True),
+              ref, 5e-4)
+        qk, qv = quantize_activation(kd), quantize_activation(vd)
+        refq = _xla_path(qd, qk, qv, maskd, hdd ** -0.5)
+        check("decode/int8", flash_decode_attention(qd, qk, qv, maskd,
+                                            use_kernel=True),
+              refq, 2e-3)
+    except Exception as e:
+        print(f"SKIP decode (compile): {type(e).__name__}: {str(e)[:120]}")
+
     if failures:
         print("FAILURES:", failures)
         sys.exit(1)
