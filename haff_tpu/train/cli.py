@@ -40,9 +40,28 @@ def parse_args(argv=None):
     p.add_argument("--lora_r", type=int, default=8)
     p.add_argument("--lora_alpha", type=float, default=16)
     p.add_argument("--lora_dropout", type=float, default=0.05)
-    # data
+    # data (mixing surface mirrors reference train_ds.py --dataset /
+    # --sample_rates; the affordance corpus is the live path, the others
+    # are the optional pretraining corpora)
     p.add_argument("--dataset_dir", required=True,
                    help="2HANDS shards dir or HF repo id")
+    p.add_argument("--dataset", default="affordance",
+                   help='"||"-separated mix of affordance|sem_seg|'
+                        'refer_seg|reason_seg|vqa')
+    p.add_argument("--sample_rates", default="",
+                   help="comma-separated weights per --dataset entry "
+                        "(default: uniform)")
+    p.add_argument("--sem_seg_data", default=None,
+                   help="ADE20K-style dir (images/ + annotations/)")
+    p.add_argument("--sem_seg_classes", default=None,
+                   help="txt file with one class name per line")
+    p.add_argument("--refer_seg_data", default=None,
+                   help="dir with refs.json, instances.json, images/")
+    p.add_argument("--reason_seg_data", default=None,
+                   help="ReasonSeg dir (<split>/*.jpg + .json)")
+    p.add_argument("--vqa_data", default=None,
+                   help="llava_instruct json path")
+    p.add_argument("--vqa_image_dir", default=None)
     p.add_argument("--val_benchmark_dir", default=None)
     p.add_argument("--samples_per_epoch", type=int, default=10000)
     # optimization (reference defaults: train_ds.py:34-122)
@@ -135,11 +154,52 @@ def main(argv=None):
 
     # Per-process seed offset shards the random sampling across hosts
     # (the DistributedSampler analog, reference train_ds.py:418-420).
-    ds = AffDataset(args.dataset_dir,
-                    samples_per_epoch=args.samples_per_epoch,
-                    seed=args.seed + 1000 * jax.process_index())
-    print(f"dataset size: {ds.size}; samples/epoch "
-          f"{args.samples_per_epoch}")
+    seed = args.seed + 1000 * jax.process_index()
+    names = [n for n in args.dataset.split("||") if n]
+    corpora = []
+    for n in names:
+        if n == "affordance":
+            corpora.append(AffDataset(
+                args.dataset_dir, samples_per_epoch=args.samples_per_epoch,
+                seed=seed))
+        elif n == "sem_seg":
+            from ..data.seg_datasets import SemSegDataset
+
+            with open(args.sem_seg_classes) as f:
+                classes = [ln.strip() for ln in f if ln.strip()]
+            corpora.append(SemSegDataset(args.sem_seg_data, classes,
+                                         seed=seed))
+        elif n == "refer_seg":
+            from ..data.seg_datasets import ReferSegDataset
+
+            base = args.refer_seg_data
+            corpora.append(ReferSegDataset(
+                os.path.join(base, "refs.json"),
+                os.path.join(base, "instances.json"),
+                os.path.join(base, "images"), seed=seed))
+        elif n == "reason_seg":
+            from ..data.extra_datasets import ReasonSegDataset
+
+            corpora.append(ReasonSegDataset(args.reason_seg_data,
+                                            seed=seed))
+        elif n == "vqa":
+            from ..data.extra_datasets import VqaDataset
+
+            corpora.append(VqaDataset(args.vqa_data, args.vqa_image_dir,
+                                      seed=seed))
+        else:
+            raise SystemExit(f"unknown dataset {n!r}")
+    if len(corpora) == 1:
+        ds = corpora[0]
+    else:
+        from ..data.extra_datasets import HybridDataset
+
+        rates = ([float(r) for r in args.sample_rates.split(",")]
+                 if args.sample_rates else [1.0] * len(corpora))
+        ds = HybridDataset(corpora, rates,
+                           samples_per_epoch=args.samples_per_epoch,
+                           seed=seed)
+    print(f"datasets: {names}; samples/epoch {args.samples_per_epoch}")
 
     def make_batch(_):
         samples = [ds[0] for _ in range(args.batch_size)]

@@ -92,3 +92,39 @@ def test_infer_cli_and_benchmark_eval(synth_data, tmp_path):
                    "--map", "--thresholds", "0.3", "0.5"])
     result = json.loads(buf.getvalue())
     assert "map_iou" in result and "0.5" in map(str, result["per_threshold"])
+
+
+def test_train_cli_hybrid_mix(synth_data, tmp_path):
+    """--dataset affordance||reason_seg with sample_rates drives the
+    HybridDataset mixing path (reference train_ds.py --dataset /
+    --sample_rates surface)."""
+    import cv2
+    import json as _json
+
+    from haff_tpu.train.cli import main
+
+    shards, bench = synth_data
+    # tiny ReasonSeg corpus: one jpg + polygon json
+    rdir = tmp_path / "reason" / "train"
+    rdir.mkdir(parents=True)
+    img = (np.random.RandomState(2).rand(48, 64, 3) * 255).astype(np.uint8)
+    cv2.imwrite(str(rdir / "a.jpg"), img)
+    (rdir / "a.json").write_text(_json.dumps({
+        "text": "the mug handle",
+        "is_sentence": False,
+        "shapes": [{"label": "target",
+                    "points": [[10, 10], [40, 10], [40, 30], [10, 30]]}],
+    }))
+    main([
+        "--dataset_dir", shards,
+        "--dataset", "affordance||reason_seg",
+        "--sample_rates", "2,1",
+        "--reason_seg_data", str(tmp_path / "reason"),
+        "--model_preset", "tiny", "--epochs", "1", "--steps_per_epoch",
+        "2", "--batch_size", "2", "--grad_accum", "1", "--lr", "1e-3",
+        "--warmup_steps", "0", "--model_max_length", "448",
+        "--log_base_dir", str(tmp_path / "runs"), "--exp_name", "h",
+        "--print_freq", "1", "--no_remat",
+    ])
+    ckpt = tmp_path / "runs" / "h" / "ckpt_model"
+    assert ckpt.is_dir() and any(ckpt.iterdir())
