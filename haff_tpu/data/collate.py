@@ -48,8 +48,11 @@ def tokenize_conversation(question: str, answer: Optional[str], tokenizer,
     ids = tokenizer_image_token(full, tokenizer)
     if answer is None:
         return ids, [IGNORE_INDEX] * len(ids)
-    # prefix = everything before the answer text
-    marker = "ASSISTANT: "
+    # prefix = everything before the answer text ("ASSISTANT: " for
+    # llava_v1, "[/INST] " for llava_llama_2)
+    from .prompts import CONV_TEMPLATES
+
+    marker = CONV_TEMPLATES[conv_type].answer_marker
     prefix = full[: full.rindex(marker) + len(marker)]
     prefix_ids = tokenizer_image_token(prefix, tokenizer)
     boundary = min(len(prefix_ids), len(ids))

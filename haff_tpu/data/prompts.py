@@ -43,19 +43,46 @@ INFERENCE_QUESTION = (
 
 @dataclass
 class Conversation:
-    """Two-role conversation with llava_v1 (SeparatorStyle.TWO) layout:
-    system + sep + 'USER: q' + sep + 'ASSISTANT: a' + sep2."""
+    """Two-role conversation.
+
+    style="two": llava_v1 (SeparatorStyle.TWO) layout — system + sep +
+    'USER: q' + sep + 'ASSISTANT: a' + sep2.
+    style="llama_2": reference conversation.py SeparatorStyle.LLAMA_2 —
+    '[INST] <<SYS>>\\n{system}\\n<</SYS>>\\n\\n{q} [/INST] {a} </s>'
+    (the leading sep '<s>' is stripped exactly as the reference's
+    ret.lstrip(sep) does)."""
 
     system: str
     roles: Tuple[str, str] = ("USER", "ASSISTANT")
     sep: str = " "
     sep2: str = "</s>"
+    style: str = "two"
     messages: List[Tuple[str, str]] = field(default_factory=list)
 
     def append_message(self, role: str, message: str):
         self.messages.append((role, message))
 
+    # The literal string preceding the answer text in the rendered
+    # prompt — collate uses it to compute the exact label boundary.
+    @property
+    def answer_marker(self) -> str:
+        return "[/INST] " if self.style == "llama_2" else \
+            self.roles[1] + ": "
+
     def get_prompt(self) -> str:
+        if self.style == "llama_2":
+            out = ""
+            for i, (role, message) in enumerate(self.messages):
+                if not message:
+                    continue
+                if i == 0:
+                    message = (f"<<SYS>>\n{self.system}\n<</SYS>>\n\n"
+                               + message)
+                if i % 2 == 0:
+                    out += self.sep + f"[INST] {message} [/INST]"
+                else:
+                    out += " " + message + " " + self.sep2
+            return out.lstrip(self.sep)
         seps = [self.sep, self.sep2]
         out = self.system + seps[0]
         for i, (role, message) in enumerate(self.messages):
@@ -67,7 +94,7 @@ class Conversation:
 
     def copy(self) -> "Conversation":
         return Conversation(system=self.system, roles=self.roles,
-                            sep=self.sep, sep2=self.sep2,
+                            sep=self.sep, sep2=self.sep2, style=self.style,
                             messages=list(self.messages))
 
 
@@ -76,8 +103,17 @@ CONV_LLAVA_V1 = Conversation(
     "assistant. The assistant gives helpful, detailed, and polite answers "
     "to the human's questions.")
 
+# Reference conversation.py conv_llava_llama_2 (the other --conv_type the
+# reference trainer accepts, train_ds.py:115-119).
+CONV_LLAVA_LLAMA_2 = Conversation(
+    system="You are a helpful language and vision assistant. "
+    "You are able to understand the visual content that the user provides, "
+    "and assist the user with a variety of tasks using natural language.",
+    sep="<s>", sep2="</s>", style="llama_2")
+
 CONV_TEMPLATES = {
     "llava_v1": CONV_LLAVA_V1,
+    "llava_llama_2": CONV_LLAVA_LLAMA_2,
 }
 
 

@@ -84,6 +84,8 @@ def parse_args(argv=None):
     # logging / ckpt
     p.add_argument("--exp_name", default="haff_tpu")
     p.add_argument("--log_base_dir", default="./runs")
+    p.add_argument("--conv_type", default="llava_v1",
+                   choices=["llava_v1", "llava_llama_2"])
     p.add_argument("--auto_resume", action="store_true", default=True)
     p.add_argument("--no_auto_resume", dest="auto_resume",
                    action="store_false")
@@ -206,7 +208,7 @@ def main(argv=None):
         return collate_affordance(
             samples, tok, sam_image_size=cfg.sam_encoder.image_size,
             clip_image_size=cfg.clip.image_size,
-            max_text_len=args.model_max_length)
+            max_text_len=args.model_max_length, conv_type=args.conv_type)
 
     # --- init / shard params ---
     probe = make_batch(0)

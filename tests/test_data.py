@@ -151,3 +151,43 @@ def test_collate_static_shapes(shard_dir):
     assert (row != IGNORE_INDEX).sum() > 0
     sup = row[row != IGNORE_INDEX]
     assert seg_token_idx(tok) in sup.tolist()
+
+
+def test_llava_llama_2_conversation_format():
+    """llava_llama_2 renders exactly as the reference's
+    SeparatorStyle.LLAMA_2 (conversation.py:72-93, template at 300-312):
+    [INST] <<SYS>>...<</SYS>>
+
+    q [/INST] a </s>, with the leading <s> sep stripped."""
+    sysmsg = ("You are a helpful language and vision assistant. "
+              "You are able to understand the visual content that the "
+              "user provides, and assist the user with a variety of "
+              "tasks using natural language.")
+    got = build_conversation("What is this?", "It is [SEG].",
+                             conv_type="llava_llama_2")
+    expect = (f"[INST] <<SYS>>\n{sysmsg}\n<</SYS>>\n\n"
+              "What is this? [/INST] It is [SEG]. </s>")
+    assert got == expect
+    # inference form: no answer -> prompt ends at [/INST]
+    got_inf = build_conversation("What is this?", None,
+                                 conv_type="llava_llama_2")
+    assert got_inf.endswith("[/INST]")
+    assert "[SEG]" not in got_inf
+
+
+def test_llama_2_label_boundary():
+    """Labels must supervise exactly the answer tokens for llama_2."""
+    from haff_tpu.core.config import IGNORE_INDEX
+    from haff_tpu.data.collate import tokenize_conversation
+    from haff_tpu.data.tokenizer import load_tokenizer
+
+    tok = load_tokenizer(None, model_max_length=512)
+    ids, labels = tokenize_conversation(
+        "<image>\nDo the thing.", "Sure, [SEG].", tok,
+        conv_type="llava_llama_2")
+    assert len(ids) == len(labels)
+    sup = [i for i, l in enumerate(labels) if l != IGNORE_INDEX]
+    assert sup, "answer span must be supervised"
+    # supervised ids decode back to the answer (+eos)
+    txt = tok.decode([ids[i] for i in sup if ids[i] >= 0])
+    assert "[SEG]" in txt and "Do the thing" not in txt
