@@ -86,6 +86,23 @@ def parse_args(argv=None):
     p.add_argument("--log_base_dir", default="./runs")
     p.add_argument("--conv_type", default="llava_v1",
                    choices=["llava_v1", "llava_llama_2"])
+    p.add_argument("--use_mm_start_end", action="store_true", default=True)
+    p.add_argument("--no_mm_start_end", dest="use_mm_start_end",
+                   action="store_false")
+    p.add_argument("--train_mask_decoder", action="store_true",
+                   default=True)
+    p.add_argument("--no_train_mask_decoder", dest="train_mask_decoder",
+                   action="store_false")
+    p.add_argument("--reset_mask_decoder", action="store_true",
+                   help="re-initialize both mask decoders (reference "
+                        "train_ds.py:245-256)")
+    p.add_argument("--eval_only", action="store_true",
+                   help="run one validation pass and exit")
+    p.add_argument("--no_eval", action="store_true",
+                   help="skip per-epoch validation")
+    p.add_argument("--resume", default=None,
+                   help="explicit checkpoint dir (overrides auto-resume)")
+    p.add_argument("--start_epoch", type=int, default=None)
     p.add_argument("--auto_resume", action="store_true", default=True)
     p.add_argument("--no_auto_resume", dest="auto_resume",
                    action="store_false")
@@ -208,7 +225,8 @@ def main(argv=None):
         return collate_affordance(
             samples, tok, sam_image_size=cfg.sam_encoder.image_size,
             clip_image_size=cfg.clip.image_size,
-            max_text_len=args.model_max_length, conv_type=args.conv_type)
+            max_text_len=args.model_max_length, conv_type=args.conv_type,
+            use_mm_start_end=args.use_mm_start_end)
 
     # --- init / shard params ---
     probe = make_batch(0)
@@ -218,20 +236,35 @@ def main(argv=None):
     boxed = variables["params"]
     shardings = param_shardings(mesh, boxed)
     params = nn.unbox(boxed)
+    if args.reset_mask_decoder:
+        # Fresh decoder weights (reference train_ds.py:245-256 reinit).
+        refresh = nn.unbox(jax.jit(model.init)(
+            jax.random.PRNGKey(args.seed + 7), tb0)["params"])
+        for k in ("mask_decoder_left", "mask_decoder_right"):
+            params["visual_model"][k] = refresh["visual_model"][k]
+        print("mask decoders re-initialized")
     params = jax.tree_util.tree_map(
         lambda x, s: jax.device_put(x, s), params, shardings)
-    trainable, frozen = partition_params(params)
+    exclude = () if args.train_mask_decoder else (
+        "mask_decoder_left", "mask_decoder_right")
+    trainable, frozen = partition_params(params, exclude)
     print(f"trainable params: {count_params(trainable):,} / "
           f"{count_params(trainable) + count_params(frozen):,}")
 
     state = init_train_state(tcfg, trainable)
     start_epoch = 0
-    if args.auto_resume:
+    if args.resume:
+        state, step = restore_checkpoint(args.resume, state)
+        if step is not None:
+            print(f"resumed from {args.resume} step {step}")
+    elif args.auto_resume:
         state, step = restore_checkpoint(ckpt_dir, state)
         if step is not None:
             start_epoch = int(step) // (args.steps_per_epoch
                                         * args.grad_accum)
             print(f"auto-resumed from step {step} (epoch {start_epoch})")
+    if args.start_epoch is not None:
+        start_epoch = args.start_epoch
 
     step_fn = jax.jit(make_train_step(model, tcfg))
     logger = MetricsLogger(log_dir, use_wandb=args.use_wandb,
@@ -241,6 +274,59 @@ def main(argv=None):
     val_ds = AffDatasetVal(args.val_benchmark_dir) \
         if args.val_benchmark_dir else None
     best_iou = -1.0
+
+    def run_validation(merged):
+        """Reference validate() (train_ds.py:625-758): taxonomy-argmax
+        mask selection, binarize at 0, union IoU/IoCM."""
+        from ..eval.metrics import union_metrics
+        from ..infer.evaluate import make_jitted_evaluate
+        from ..nn.sam import resize_to_original
+
+        ev = make_jitted_evaluate(model, max_new_tokens=32,
+                                  eos_id=tok.eos_token_id)
+        ious, iocms = [], []
+        for vi in range(len(val_ds)):
+            sample, _ = val_ds[vi]
+            vb = collate_affordance(
+                [sample], tok,
+                sam_image_size=cfg.sam_encoder.image_size,
+                clip_image_size=cfg.clip.image_size,
+                max_text_len=args.model_max_length,
+                use_mm_start_end=args.use_mm_start_end,
+                for_training=False)
+            res = ev({"params": merged},
+                     jnp.asarray(vb["images_sam"]),
+                     jnp.asarray(vb["images_clip"]),
+                     jnp.asarray(vb["input_ids"]),
+                     jnp.asarray(vb["attention_mask"]))
+            rh, rw = vb["resizes"][0]
+            orig = sample.image.shape[:2]
+            ml = resize_to_original(
+                np.asarray(res.pred_masks_left), (rh, rw), orig)[0]
+            mr = resize_to_original(
+                np.asarray(res.pred_masks_right), (rh, rw), orig)[0]
+            tax = int(np.argmax(np.asarray(res.taxonomies)[0]))
+            pl_ = (ml > 0).astype(np.uint8)
+            pr_ = (mr > 0).astype(np.uint8)
+            if tax == 0:
+                pr_[:] = 0
+            elif tax == 1:
+                pl_[:] = 0
+            m = union_metrics(pl_, pr_, sample.mask_left,
+                              sample.mask_right)
+            ious.append(m["iou"])
+            iocms.append(m["iocm"])
+        return float(np.mean(ious)), float(np.mean(iocms))
+
+    if args.eval_only:
+        if val_ds is None or not len(val_ds):
+            raise SystemExit("--eval_only needs --val_benchmark_dir")
+        with mesh:
+            val_iou, val_iocm = run_validation(
+                merge_params(state.trainable, frozen))
+        print(f"eval_only: val IoU {val_iou:.4f} IoCM {val_iocm:.4f}")
+        logger.close()
+        return
 
     micro_per_epoch = args.steps_per_epoch * args.grad_accum
     with mesh:
@@ -271,49 +357,9 @@ def main(argv=None):
                                int(state.step))
 
             # --- validation (reference validate(), train_ds.py:625-758) ---
-            if val_ds is not None and len(val_ds):
-                from ..infer.evaluate import make_jitted_evaluate
-                from ..nn.sam import resize_to_original
-
-                merged = merge_params(state.trainable, frozen)
-                ev = make_jitted_evaluate(model, max_new_tokens=32,
-                                          eos_id=tok.eos_token_id)
-                ious, iocms = [], []
-                for vi in range(len(val_ds)):
-                    sample, _ = val_ds[vi]
-                    vb = collate_affordance(
-                        [sample], tok,
-                        sam_image_size=cfg.sam_encoder.image_size,
-                        clip_image_size=cfg.clip.image_size,
-                        max_text_len=args.model_max_length,
-                        for_training=False)
-                    res = ev({"params": merged},
-                             jnp.asarray(vb["images_sam"]),
-                             jnp.asarray(vb["images_clip"]),
-                             jnp.asarray(vb["input_ids"]),
-                             jnp.asarray(vb["attention_mask"]))
-                    # taxonomy-argmax mask selection + union IoU
-                    from ..eval.metrics import union_metrics
-
-                    rh, rw = vb["resizes"][0]
-                    orig = sample.image.shape[:2]
-                    ml = resize_to_original(
-                        np.asarray(res.pred_masks_left), (rh, rw), orig)[0]
-                    mr = resize_to_original(
-                        np.asarray(res.pred_masks_right), (rh, rw), orig)[0]
-                    tax = int(np.argmax(np.asarray(res.taxonomies)[0]))
-                    pl_ = (ml > 0).astype(np.uint8)
-                    pr_ = (mr > 0).astype(np.uint8)
-                    if tax == 0:
-                        pr_[:] = 0
-                    elif tax == 1:
-                        pl_[:] = 0
-                    m = union_metrics(pl_, pr_, sample.mask_left,
-                                      sample.mask_right)
-                    ious.append(m["iou"])
-                    iocms.append(m["iocm"])
-                val_iou = float(np.mean(ious))
-                val_iocm = float(np.mean(iocms))
+            if val_ds is not None and len(val_ds) and not args.no_eval:
+                val_iou, val_iocm = run_validation(
+                    merge_params(state.trainable, frozen))
                 print(f"Epoch {epoch}: val IoU {val_iou:.4f} "
                       f"IoCM {val_iocm:.4f}")
                 logger.log(dict(val_iou=val_iou, val_precision=val_iocm),

@@ -34,17 +34,24 @@ TRAINABLE_KEYS = ("lora_a", "lora_b", "embed_tokens", "lm_head",
                   "text_fc2")
 
 
-def trainable_mask_path(path: Tuple[str, ...]) -> bool:
-    """Reference freezing semantics (train_ds.py:192-244)."""
-    return any(k in path for k in TRAINABLE_KEYS)
+def trainable_mask_path(path: Tuple[str, ...],
+                        exclude: Tuple[str, ...] = ()) -> bool:
+    """Reference freezing semantics (train_ds.py:192-244). `exclude`
+    removes keys from the trainable set (e.g. the mask decoders when
+    --train_mask_decoder is off)."""
+    keys = tuple(k for k in TRAINABLE_KEYS if k not in exclude)
+    return any(k in path for k in keys)
 
 
-def partition_params(params: Dict) -> Tuple[Dict, Dict]:
+def partition_params(params: Dict, exclude: Tuple[str, ...] = ()
+                     ) -> Tuple[Dict, Dict]:
     """params (unboxed dict) -> (trainable, frozen) with identical tree
     structure positions (missing branches pruned)."""
     flat = traverse_util.flatten_dict(params)
-    train = {k: v for k, v in flat.items() if trainable_mask_path(k)}
-    frozen = {k: v for k, v in flat.items() if not trainable_mask_path(k)}
+    train = {k: v for k, v in flat.items()
+             if trainable_mask_path(k, exclude)}
+    frozen = {k: v for k, v in flat.items()
+              if not trainable_mask_path(k, exclude)}
     return (traverse_util.unflatten_dict(train),
             traverse_util.unflatten_dict(frozen))
 

@@ -128,3 +128,37 @@ def test_train_cli_hybrid_mix(synth_data, tmp_path):
     ])
     ckpt = tmp_path / "runs" / "h" / "ckpt_model"
     assert ckpt.is_dir() and any(ckpt.iterdir())
+
+
+def test_train_cli_eval_only(synth_data, tmp_path):
+    from haff_tpu.train.cli import main
+
+    shards, bench = synth_data
+    main([
+        "--dataset_dir", shards, "--val_benchmark_dir", bench,
+        "--model_preset", "tiny", "--eval_only",
+        "--model_max_length", "448",
+        "--log_base_dir", str(tmp_path / "runs"), "--exp_name", "e",
+        "--no_remat",
+    ])
+    # no training happened -> no checkpoint written
+    assert not (tmp_path / "runs" / "e" / "ckpt_model").exists()
+
+
+def test_partition_params_exclude_mask_decoder():
+    from haff_tpu.train.trainer import partition_params
+
+    params = {
+        "visual_model": {"mask_decoder_left": {"w": 1},
+                         "mask_decoder_right": {"w": 2},
+                         "image_encoder": {"w": 3}},
+        "llm": {"lora_a": {"w": 4}, "o_proj": {"w": 5}},
+    }
+    train, frozen = partition_params(
+        params, exclude=("mask_decoder_left", "mask_decoder_right"))
+    from flax import traverse_util
+    tkeys = set(traverse_util.flatten_dict(train))
+    assert ("llm", "lora_a", "w") in tkeys
+    assert not any("mask_decoder" in "/".join(k) for k in tkeys)
+    fkeys = set(traverse_util.flatten_dict(frozen))
+    assert ("visual_model", "mask_decoder_left", "w") in fkeys
