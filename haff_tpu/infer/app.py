@@ -95,6 +95,7 @@ def main(argv=None):
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--tokenizer", default=None)
     p.add_argument("--load_in_8bit", action="store_true")
+    p.add_argument("--load_in_4bit", action="store_true")
     p.add_argument("--kv_cache_8bit", action="store_true")
     p.add_argument("--threshold", type=float, default=0.5)
     args = p.parse_args(argv)
@@ -105,6 +106,7 @@ def main(argv=None):
                           checkpoint=args.checkpoint,
                           tokenizer=args.tokenizer,
                           load_in_8bit=args.load_in_8bit,
+                          load_in_4bit=args.load_in_4bit,
                           kv_cache_8bit=args.kv_cache_8bit)
     server = HTTPServer(("0.0.0.0", args.port),
                         make_handler(predictor, args.threshold))

@@ -23,6 +23,7 @@ def main(argv=None):
     p.add_argument("--tokenizer", default=None)
     p.add_argument("--precision", default="bf16")
     p.add_argument("--load_in_8bit", action="store_true")
+    p.add_argument("--load_in_4bit", action="store_true")
     p.add_argument("--kv_cache_8bit", action="store_true")
     p.add_argument("--vis_save_path", default="./vis_output")
     p.add_argument("--threshold", type=float, default=0.5)
@@ -38,6 +39,7 @@ def main(argv=None):
                           tokenizer=args.tokenizer,
                           precision=args.precision,
                           load_in_8bit=args.load_in_8bit,
+                          load_in_4bit=args.load_in_4bit,
                           kv_cache_8bit=args.kv_cache_8bit)
     os.makedirs(args.vis_save_path, exist_ok=True)
     print("Ready. Empty prompt exits.")

@@ -70,6 +70,8 @@ def main(argv=None):
                    help="int8 weight-only LLM quantization (the TPU "
                         "analog of the reference's bitsandbytes path; "
                         "visual model stays full precision)")
+    p.add_argument("--load_in_4bit", action="store_true",
+                   help="group-wise int4 weight-only LLM quantization")
     p.add_argument("--kv_cache_8bit", action="store_true",
                    help="store the decode KV cache as int8 with per "
                         "token-head scales")
@@ -117,10 +119,11 @@ def main(argv=None):
         print(f"restored checkpoint step {step}")
 
     scales = None
-    if args.load_in_8bit:
+    if args.load_in_8bit or args.load_in_4bit:
         from ..nn.quant import default_llm_predicate, quantize_tree
 
-        params, scales = quantize_tree(params, default_llm_predicate)
+        params, scales = quantize_tree(params, default_llm_predicate,
+                                       bits=4 if args.load_in_4bit else 8)
     ev = make_jitted_evaluate(model, max_new_tokens=args.max_new_tokens,
                               eos_id=tok.eos_token_id,
                               quant_scales=scales,

@@ -19,7 +19,8 @@ class Predictor:
                  checkpoint: Optional[str] = None,
                  tokenizer: Optional[str] = None, precision: str = "bf16",
                  max_new_tokens: int = 32, max_text_len: int = 320,
-                 load_in_8bit: bool = False, kv_cache_8bit: bool = False):
+                 load_in_8bit: bool = False, load_in_4bit: bool = False,
+                 kv_cache_8bit: bool = False):
         import jax
         import jax.numpy as jnp
 
@@ -55,11 +56,12 @@ class Predictor:
 
             self.params, _ = restore_checkpoint(checkpoint, self.params)
         scales = None
-        if load_in_8bit:
+        if load_in_8bit or load_in_4bit:
             from ..nn.quant import default_llm_predicate, quantize_tree
 
-            self.params, scales = quantize_tree(self.params,
-                                                default_llm_predicate)
+            self.params, scales = quantize_tree(
+                self.params, default_llm_predicate,
+                bits=4 if load_in_4bit else 8)
         self._eval = make_jitted_evaluate(
             self.model, max_new_tokens=max_new_tokens,
             eos_id=self.tok.eos_token_id, quant_scales=scales,

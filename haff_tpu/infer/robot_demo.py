@@ -100,6 +100,7 @@ def main(argv=None):
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--tokenizer", default=None)
     p.add_argument("--load_in_8bit", action="store_true")
+    p.add_argument("--load_in_4bit", action="store_true")
     p.add_argument("--kv_cache_8bit", action="store_true")
     p.add_argument("--th", type=float, default=-5.0)
     p.add_argument("--force_left", action="store_true")
@@ -119,6 +120,7 @@ def main(argv=None):
                           checkpoint=args.checkpoint,
                           tokenizer=args.tokenizer,
                           load_in_8bit=args.load_in_8bit,
+                          load_in_4bit=args.load_in_4bit,
                           kv_cache_8bit=args.kv_cache_8bit)
     os.makedirs(os.path.join(args.root, "in"), exist_ok=True)
     print(f"polling {args.root}/in ...")

@@ -78,34 +78,83 @@ def _rebox(template, value):
     return value
 
 
+def quantize_kernel_int4(w: jnp.ndarray, group: int = 64
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(in, out) kernel -> (packed uint8 (in/2, out), f32 scales
+    (in/group, out)). Group-wise symmetric int4 (the TPU analog of
+    bitsandbytes nf4 4-bit, reference inference.py:133-156): two signed
+    nibbles per byte along the in dim; in must divide by `group`."""
+    w = jnp.asarray(w, jnp.float32)
+    din, dout = w.shape
+    assert din % group == 0 and group % 2 == 0, (din, group)
+    g = w.reshape(din // group, group, dout)
+    amax = jnp.max(jnp.abs(g), axis=1, keepdims=True)
+    scale = jnp.where(amax == 0, 1.0, amax / 7.0)
+    q = jnp.clip(jnp.round(g / scale), -8, 7).astype(jnp.int32)
+    q = q.reshape(din, dout)
+    lo = q[0::2] & 0xF
+    hi = (q[1::2] & 0xF) << 4
+    packed = (lo | hi).astype(jnp.uint8)          # (in/2, out)
+    return packed, scale[:, 0].astype(jnp.float32)  # (in/group, out)
+
+
+def dequantize_kernel_int4(packed: jnp.ndarray, scale: jnp.ndarray,
+                           group: int = 64, dtype=jnp.bfloat16
+                           ) -> jnp.ndarray:
+    """Inverse of quantize_kernel_int4; runs inside jit (unpack + scale
+    fuse into the consuming matmul's operand load)."""
+    p = packed.astype(jnp.int32)
+    lo = p & 0xF
+    hi = (p >> 4) & 0xF
+    lo = jnp.where(lo > 7, lo - 16, lo)
+    hi = jnp.where(hi > 7, hi - 16, hi)
+    din2, dout = packed.shape
+    q = jnp.stack([lo, hi], axis=1).reshape(2 * din2, dout)
+    q = q.reshape(scale.shape[0], group, dout).astype(jnp.float32)
+    return (q * scale[:, None, :]).reshape(2 * din2, dout).astype(dtype)
+
+
 def quantize_tree(params: Dict,
-                  should_quantize: Callable[[Tuple[str, ...]], bool]
-                  ) -> Tuple[Dict, Dict]:
+                  should_quantize: Callable[[Tuple[str, ...]], bool],
+                  bits: int = 8, group: int = 64) -> Tuple[Dict, Dict]:
     """Quantize selected 2D kernels in a param tree (boxed or raw).
 
     Returns (new_params, qinfo) where quantized kernels are replaced by
-    int8 arrays and qinfo maps the same flattened keys to scales. The
-    serving wrapper (apply_quantized) dequantizes lazily per layer."""
+    int8 (bits=8) or packed-int4 (bits=4) arrays and qinfo maps the
+    flattened keys to scale metadata consumed by dequantize_tree."""
+    assert bits in (4, 8)
     flat = dict(traverse_util.flatten_dict(params))
     scales = {}
     for k, v in list(flat.items()):
         arr = _unboxed(v)
         if (k[-1] == "kernel" and getattr(arr, "ndim", 0) == 2
                 and should_quantize(k)):
-            q, s = quantize_kernel(arr)
-            flat[k] = _rebox(v, q)
-            scales[k] = s
+            if bits == 4 and arr.shape[0] % group == 0:
+                q, s = quantize_kernel_int4(arr, group)
+                flat[k] = _rebox(v, q)
+                scales[k] = ("int4", s, group)
+            else:
+                q, s = quantize_kernel(arr)
+                flat[k] = _rebox(v, q)
+                scales[k] = ("int8", s, None)
     return traverse_util.unflatten_dict(flat), scales
 
 
 def dequantize_tree(params: Dict, scales: Dict,
                     dtype=jnp.bfloat16) -> Dict:
-    """Materialize compute-dtype kernels from an int8 tree (inside jit,
-    XLA keeps weights int8 in HBM and fuses the casts)."""
+    """Materialize compute-dtype kernels from a quantized tree (inside
+    jit, XLA keeps weights int8/int4 in HBM and fuses the casts)."""
     flat = dict(traverse_util.flatten_dict(params))
-    for k, s in scales.items():
+    for k, meta_ in scales.items():
+        if not isinstance(meta_, tuple):      # legacy: bare int8 scales
+            meta_ = ("int8", meta_, None)
+        kind, s, group = meta_
         v = flat[k]
-        flat[k] = _rebox(v, dequantize_kernel(_unboxed(v), s, dtype))
+        if kind == "int4":
+            flat[k] = _rebox(v, dequantize_kernel_int4(
+                _unboxed(v), s, group, dtype))
+        else:
+            flat[k] = _rebox(v, dequantize_kernel(_unboxed(v), s, dtype))
     return traverse_util.unflatten_dict(flat)
 
 

@@ -144,3 +144,46 @@ def test_quantized_jitted_evaluate_runs():
     ref_l = np.asarray(ref.pred_masks_left, np.float32)
     q_l = np.asarray(res.pred_masks_left, np.float32)
     assert np.abs(q_l - ref_l).mean() < 1.0
+
+
+def test_int4_roundtrip_error_bound():
+    from haff_tpu.nn.quant import (dequantize_kernel_int4,
+                                   quantize_kernel_int4)
+
+    rng = np.random.RandomState(5)
+    w = jnp.asarray(rng.randn(128, 32).astype(np.float32))
+    p, s = quantize_kernel_int4(w, group=64)
+    assert p.shape == (64, 32) and p.dtype == jnp.uint8
+    assert s.shape == (2, 32)
+    back = dequantize_kernel_int4(p, s, group=64, dtype=jnp.float32)
+    # group-wise symmetric int4: |err| <= scale/2 per element
+    bound = np.repeat(np.asarray(s), 64, axis=0) / 2 + 1e-6
+    err = np.abs(np.asarray(back) - np.asarray(w))
+    assert (err <= bound).all(), err.max()
+
+
+def test_int4_tree_and_jitted_evaluate():
+    """4-bit weights through the serving path (reference load_in_4bit)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_lisa_model import make_tiny_batch
+
+    from haff_tpu.core.config import ModelConfig
+    from haff_tpu.infer.evaluate import make_jitted_evaluate
+    from haff_tpu.model.lisa import LisaModel
+
+    cfg = ModelConfig.preset("tiny")
+    model = LisaModel(cfg=cfg)
+    batch = make_tiny_batch(cfg)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+    qparams, scales = quantize_tree(params, default_llm_predicate,
+                                    bits=4, group=8)
+    kinds = {m[0] for m in scales.values()}
+    assert "int4" in kinds, kinds
+    ev = make_jitted_evaluate(model, max_new_tokens=3, eos_id=2,
+                              quant_scales=scales,
+                              quant_dtype=jnp.float32)
+    res = ev(qparams, batch.images_sam, batch.images_clip,
+             batch.input_ids[:2], batch.attention_mask[:2])
+    assert np.isfinite(np.asarray(res.pred_masks_left)).all()
