@@ -58,9 +58,13 @@ class LlamaConfig:
     rope_theta: float = 10000.0
     rms_norm_eps: float = 1e-6
     # LoRA on q/v projections (reference train_ds.py:192-231); 0 = off.
+    # lora_targets mirrors --lora_target_modules (attention projections
+    # only; q/v keep the base/kernel layout even when untargeted so the
+    # checkpoint tree is stable at the default).
     lora_rank: int = 0
     lora_alpha: float = 16.0
     lora_dropout: float = 0.05
+    lora_targets: Tuple[str, ...] = ("q_proj", "v_proj")
 
     @staticmethod
     def preset(name: str) -> "LlamaConfig":

@@ -115,23 +115,30 @@ class LlamaAttention(nn.Module):
 
         from .lora import LoraDense
 
-        # q/v carry optional LoRA adapters (reference targets q_proj and
-        # v_proj only, train_ds.py:195-221); layout is stable regardless
-        # of rank (kernel at {q,v}_proj/base/kernel).
-        q = LoraDense(features=nh * hd, rank=cfg.lora_rank,
-                      alpha=cfg.lora_alpha, dropout=cfg.lora_dropout,
-                      dtype=self.dtype, param_dtype=self.param_dtype,
-                      kernel_axes=(EMBED, HEADS), name="q_proj")(
-                          x, deterministic=self.deterministic)
-        q = q.reshape(b, l, nh, hd)
-        k = _dense(nkv * hd, "k_proj", (EMBED, KV_HEADS), self.dtype,
-                   self.param_dtype)(x).reshape(b, l, nkv, hd)
-        v = LoraDense(features=nkv * hd, rank=cfg.lora_rank,
-                      alpha=cfg.lora_alpha, dropout=cfg.lora_dropout,
-                      dtype=self.dtype, param_dtype=self.param_dtype,
-                      kernel_axes=(EMBED, KV_HEADS), name="v_proj")(
-                          x, deterministic=self.deterministic)
-        v = v.reshape(b, l, nkv, hd)
+        # LoRA adapters on the configured attention projections
+        # (reference --lora_target_modules, default q_proj+v_proj,
+        # train_ds.py:195-221). q/v keep the base/kernel layout even at
+        # rank 0 so the default checkpoint tree never changes; k/o only
+        # switch layout when explicitly targeted.
+        def proj(inp, name, features, axes):
+            targeted = name in cfg.lora_targets
+            if targeted or name in ("q_proj", "v_proj"):
+                return LoraDense(
+                    features=features,
+                    rank=cfg.lora_rank if targeted else 0,
+                    alpha=cfg.lora_alpha, dropout=cfg.lora_dropout,
+                    dtype=self.dtype, param_dtype=self.param_dtype,
+                    kernel_axes=axes, name=name)(
+                        inp, deterministic=self.deterministic)
+            return _dense(features, name, axes, self.dtype,
+                          self.param_dtype)(inp)
+
+        q = proj(x, "q_proj", nh * hd,
+                 (EMBED, HEADS)).reshape(b, l, nh, hd)
+        k = proj(x, "k_proj", nkv * hd,
+                 (EMBED, KV_HEADS)).reshape(b, l, nkv, hd)
+        v = proj(x, "v_proj", nkv * hd,
+                 (EMBED, KV_HEADS)).reshape(b, l, nkv, hd)
 
         table = rope_table(hd, cfg.max_seq_len, cfg.rope_theta)
         q = apply_rope(q, positions, table)
@@ -179,8 +186,7 @@ class LlamaAttention(nn.Module):
                                   kv_segment_ids=segment_ids, causal=True)
 
         out = out.reshape(b, l, nh * hd)
-        out = _dense(cfg.hidden_size, "o_proj", (HEADS, EMBED), self.dtype,
-                     self.param_dtype)(out)
+        out = proj(out, "o_proj", cfg.hidden_size, (HEADS, EMBED))
         return out, new_cache
 
 

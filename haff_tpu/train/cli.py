@@ -40,6 +40,9 @@ def parse_args(argv=None):
     p.add_argument("--lora_r", type=int, default=8)
     p.add_argument("--lora_alpha", type=float, default=16)
     p.add_argument("--lora_dropout", type=float, default=0.05)
+    p.add_argument("--lora_target_modules", default="q_proj,v_proj",
+                   help="comma-separated attention projections to adapt "
+                        "(q_proj,k_proj,v_proj,o_proj)")
     # data (mixing surface mirrors reference train_ds.py --dataset /
     # --sample_rates; the affordance corpus is the live path, the others
     # are the optional pretraining corpora)
@@ -155,6 +158,8 @@ def main(argv=None):
         llama=dataclasses.replace(
             base.llama, lora_rank=args.lora_r, lora_alpha=args.lora_alpha,
             lora_dropout=args.lora_dropout,
+            lora_targets=tuple(
+                m for m in args.lora_target_modules.split(",") if m),
             vocab_size=max(base.llama.vocab_size, len(tok) + 4)),
     )
     tcfg = TrainConfig(

@@ -93,3 +93,33 @@ def test_padding_does_not_leak():
     np.testing.assert_allclose(
         np.asarray(logits8), np.asarray(logits16[:, :8]),
         rtol=2e-4, atol=2e-4)
+
+
+def test_lora_target_modules_configurable():
+    """lora_targets extends adapters beyond q/v (reference
+    --lora_target_modules); zero-init lora_b keeps outputs unchanged at
+    init, and untargeted q/v retain the stable base/kernel layout."""
+    import dataclasses
+
+    from flax import traverse_util
+
+    cfg = dataclasses.replace(LlamaConfig.preset("tiny"), lora_rank=2,
+                              lora_targets=("q_proj", "k_proj", "v_proj",
+                                            "o_proj"))
+    model = LlamaForCausalLM(cfg=cfg)
+    rng = np.random.RandomState(0)
+    ids = jnp.asarray(rng.randint(2, cfg.vocab_size, (1, 8)).astype(np.int32))
+    pos = jnp.arange(8)[None]
+    params = model.init(jax.random.PRNGKey(0), ids, pos, method="init_all")
+    flat = traverse_util.flatten_dict(params["params"])
+    attn = [k for k in flat if "self_attn" in k and "lora_a" in k]
+    projs = {k[k.index("self_attn") + 1] for k in attn}
+    assert projs == {"q_proj", "k_proj", "v_proj", "o_proj"}, projs
+
+    # default targets: k/o stay plain Dense (kernel directly, no base/)
+    cfg0 = dataclasses.replace(LlamaConfig.preset("tiny"), lora_rank=2)
+    p0 = LlamaForCausalLM(cfg=cfg0).init(jax.random.PRNGKey(0), ids, pos,
+                                         method="init_all")
+    flat0 = traverse_util.flatten_dict(p0["params"])
+    k_keys = [k for k in flat0 if "k_proj" in k]
+    assert all("base" not in k for k in k_keys), k_keys
