@@ -75,12 +75,29 @@ def get_mask_from_json(json_path: str, img: np.ndarray
 
 class ReasonSegDataset:
     """ReasonSeg jsons: <name>.jpg + <name>.json with polygon shapes
-    (reference reason_seg_dataset.py)."""
+    (reference reason_seg_dataset.py). `explanatory` enables the
+    reference's explanation-augmented sampling (reason_seg_dataset.py:
+    72-91, 139-170): for images listed in explanatory/train.json, with
+    probability `explanatory` the answer is the vanilla text explanation
+    (no [SEG], mask losses gate off); otherwise a coin picks plain [SEG]
+    or [SEG]+explanation with an explanatory question suffix."""
 
-    def __init__(self, base_dir: str, split: str = "train", seed: int = 0):
+    def __init__(self, base_dir: str, split: str = "train", seed: int = 0,
+                 explanatory: float = -1.0):
         self.images = sorted(
             glob.glob(os.path.join(base_dir, split, "*.jpg")))
         self.rng = np.random.RandomState(seed)
+        self.explanatory = explanatory
+        self.img_to_explanation = {}
+        if explanatory != -1:
+            path = os.path.join(base_dir, "explanatory", "train.json")
+            if os.path.exists(path):
+                with open(path) as f:
+                    for item in json.load(f):
+                        self.img_to_explanation[item["image"]] = {
+                            "query": item["query"],
+                            "outputs": item["outputs"],
+                        }
 
     def __len__(self):
         return len(self.images)
@@ -97,10 +114,27 @@ class ReasonSegDataset:
         else:
             q = ("<image>\nWhat is {cls} in this picture? Please respond "
                  "with segmentation mask.").format(cls=text.lower())
-        return Sample(image=image, question=q, answer="It is [SEG].",
-                      mask_left=(mask == 1).astype(np.uint8),
-                      mask_right=None,
-                      taxonomy=np.asarray([1, 0, 0, 0], np.float32))
+        answer = "It is [SEG]."
+        mask_left = (mask == 1).astype(np.uint8)
+        taxonomy = np.asarray([1, 0, 0, 0], np.float32)
+
+        img_name = os.path.basename(img_path)
+        exp = self.img_to_explanation.get(img_name)
+        if exp is not None:
+            choice = 2 if self.rng.rand() < self.explanatory \
+                else int(self.rng.randint(0, 2))
+            if choice == 1:    # [SEG] + text answer
+                answer = "It is [SEG]. " + exp["outputs"]
+                q = ("<image>\n" + text + " "
+                     + self.rng.choice(EXPLANATORY_QUESTION_LIST))
+            elif choice == 2:  # vanilla text answer, no mask supervision
+                q = "<image>\n" + text
+                answer = exp["outputs"]
+                mask_left = None
+                taxonomy = None
+        return Sample(image=image, question=q, answer=answer,
+                      mask_left=mask_left, mask_right=None,
+                      taxonomy=taxonomy)
 
     def __getitem__(self, idx) -> Sample:
         return self.get(int(self.rng.randint(0, len(self.images))))

@@ -62,6 +62,9 @@ def parse_args(argv=None):
                    help="dir with refs.json, instances.json, images/")
     p.add_argument("--reason_seg_data", default=None,
                    help="ReasonSeg dir (<split>/*.jpg + .json)")
+    p.add_argument("--explanatory", type=float, default=-1.0,
+                   help="ReasonSeg explanation-answer probability "
+                        "(-1 = off, reference default 0.1)")
     p.add_argument("--vqa_data", default=None,
                    help="llava_instruct json path")
     p.add_argument("--vqa_image_dir", default=None)
@@ -204,8 +207,9 @@ def main(argv=None):
         elif n == "reason_seg":
             from ..data.extra_datasets import ReasonSegDataset
 
-            corpora.append(ReasonSegDataset(args.reason_seg_data,
-                                            seed=seed))
+            corpora.append(ReasonSegDataset(
+                args.reason_seg_data, seed=seed,
+                explanatory=args.explanatory))
         elif n == "vqa":
             from ..data.extra_datasets import VqaDataset
 

@@ -102,3 +102,42 @@ def test_vqa_sample_through_collate_has_no_mask_loss():
     assert batch["masks_left"].sum() == 0
     sup = batch["labels"][0][batch["labels"][0] != -100]
     assert seg_token_idx(tok) not in sup.tolist()
+
+
+def test_reason_seg_explanatory(tmp_path):
+    from haff_tpu.data.extra_datasets import ReasonSegDataset
+
+    """Explanatory sampling: choice 2 drops [SEG] + masks; choice 1
+    appends the explanation to a [SEG] answer."""
+    import cv2
+
+    d = tmp_path / "reason"
+    (d / "train").mkdir(parents=True)
+    (d / "explanatory").mkdir()
+    img = (np.random.RandomState(0).rand(40, 50, 3) * 255).astype(np.uint8)
+    cv2.imwrite(str(d / "train" / "x.jpg"), img)
+    (d / "train" / "x.json").write_text(json.dumps({
+        "text": "the red mug", "is_sentence": False,
+        "shapes": [{"label": "t",
+                    "points": [[5, 5], [30, 5], [30, 20], [5, 20]]}]}))
+    (d / "explanatory" / "train.json").write_text(json.dumps(
+        [{"image": "x.jpg", "query": "q", "outputs": "Because reasons."}]))
+
+    # explanatory=1.0 -> always choice 2 (pure text answer)
+    ds = ReasonSegDataset(str(d), explanatory=1.0, seed=0)
+    s = ds.get(0)
+    assert "[SEG]" not in s.answer and s.answer == "Because reasons."
+    assert s.mask_left is None and s.taxonomy is None
+
+    # explanatory=0.0 -> choice in {0,1}; with seed sweep both occur
+    seen = set()
+    for seed in range(8):
+        s = ReasonSegDataset(str(d), explanatory=0.0, seed=seed).get(0)
+        seen.add("exp" if "Because" in s.answer else "plain")
+        assert "[SEG]" in s.answer
+        assert s.mask_left is not None
+    assert seen == {"exp", "plain"}, seen
+
+    # explanatory off -> plain behavior
+    s = ReasonSegDataset(str(d), seed=0).get(0)
+    assert s.answer == "It is [SEG]."
