@@ -85,6 +85,9 @@ def main(argv=None):
             lambda: model.init(jax.random.PRNGKey(0), batch))
     # materialize real init (needed for params absent from checkpoints)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)["params"]
+    from flax.core import meta as flax_meta
+
+    params = flax_meta.unbox(params)  # plain arrays on disk
 
     if args.lisa:
         sd = load_any(args.lisa)

@@ -42,11 +42,36 @@ def latest_step(ckpt_dir: str) -> Optional[int]:
     return step
 
 
+def restore_params(ckpt_dir: str, target_params: Any) -> Any:
+    """Restore a bare params tree written by tools/convert_cli
+    (StandardCheckpointer layout — a single checkpoint dir, no
+    CheckpointManager step subdirectories)."""
+    ckptr = ocp.StandardCheckpointer()
+    try:
+        return ckptr.restore(os.path.abspath(ckpt_dir), target_params)
+    finally:
+        ckptr.close()
+
+
 def restore_checkpoint(ckpt_dir: str, target: Any) -> Tuple[Any, Optional[int]]:
     """Auto-resume: restore the latest checkpoint into `target`'s
-    structure; returns (state, step) or (target, None) if none exists."""
+    structure; returns (state, step) or (target, None) if none exists.
+
+    Accepts BOTH layouts: a CheckpointManager root (train-state
+    checkpoints with step dirs) and a converted bare-params dir from
+    tools/convert_cli — for the latter, `target` must be the model
+    variables dict ({"params": ...}); the params subtree is grafted and
+    step 0 is reported."""
     step = latest_step(ckpt_dir)
     if step is None:
+        if (isinstance(target, dict) and set(target) == {"params"}
+                and os.path.isdir(ckpt_dir)
+                and os.path.exists(os.path.join(ckpt_dir,
+                                                "_CHECKPOINT_METADATA"))):
+            from flax.core import meta as flax_meta
+
+            bare = flax_meta.unbox(target["params"])
+            return {"params": restore_params(ckpt_dir, bare)}, 0
         return target, None
     mgr = _manager(ckpt_dir)
     state = mgr.restore(step, args=ocp.args.StandardRestore(target))

@@ -108,6 +108,13 @@ def parse_args(argv=None):
                    help="skip per-epoch validation")
     p.add_argument("--resume", default=None,
                    help="explicit checkpoint dir (overrides auto-resume)")
+    p.add_argument("--pretrained_params", default=None,
+                   help="converted params dir from tools/convert_cli "
+                        "(initial weights, not a training resume)")
+    p.add_argument("--vision_pretrained", default=None,
+                   help="raw SAM .pth checkpoint; converted on the fly "
+                        "with left/right decoder duplication (reference "
+                        "--vision_pretrained)")
     p.add_argument("--start_epoch", type=int, default=None)
     p.add_argument("--auto_resume", action="store_true", default=True)
     p.add_argument("--no_auto_resume", dest="auto_resume",
@@ -245,6 +252,21 @@ def main(argv=None):
     boxed = variables["params"]
     shardings = param_shardings(mesh, boxed)
     params = nn.unbox(boxed)
+    if args.pretrained_params:
+        from .checkpoints import restore_params
+
+        params = restore_params(args.pretrained_params, params)
+        print(f"initialized from converted params "
+              f"{args.pretrained_params}")
+    if args.vision_pretrained:
+        from ..tools.convert_weights import (convert_sam, load_state_dict,
+                                             merge_into_init)
+
+        sd = load_state_dict(args.vision_pretrained)
+        params = merge_into_init(
+            params, {"visual_model": convert_sam(
+                sd, depth=cfg.sam_encoder.depth)})
+        print(f"overlaid SAM weights from {args.vision_pretrained}")
     if args.reset_mask_decoder:
         # Fresh decoder weights (reference train_ds.py:245-256 reinit).
         refresh = nn.unbox(jax.jit(model.init)(
