@@ -84,6 +84,11 @@ def parse_args(argv=None):
     p.add_argument("--dice_loss_weight", type=float, default=0.5)
     p.add_argument("--bce_loss_weight", type=float, default=2.0)
     p.add_argument("--no_remat", action="store_true")
+    p.add_argument("--load_in_8bit", action="store_true",
+                   help="QLoRA-style: keep the frozen LLM base int8 in "
+                        "HBM, dequantize inside the train step")
+    p.add_argument("--load_in_4bit", action="store_true",
+                   help="QLoRA-style int4 frozen base")
     # mesh
     p.add_argument("--fsdp", type=int, default=1)
     p.add_argument("--tensor", type=int, default=1)
@@ -297,7 +302,30 @@ def main(argv=None):
     if args.start_epoch is not None:
         start_epoch = args.start_epoch
 
-    step_fn = jax.jit(make_train_step(model, tcfg))
+    base_step = make_train_step(model, tcfg)
+    if args.load_in_8bit or args.load_in_4bit:
+        # QLoRA analog (reference train_ds.py:57-58 bitsandbytes load):
+        # the frozen base lives int8/int4 in HBM; the dequantize runs
+        # inside the jitted step and fuses into the consuming matmuls.
+        from ..nn.quant import default_llm_predicate, quantize_tree
+
+        frozen, _fscales = quantize_tree(
+            frozen, default_llm_predicate,
+            bits=4 if args.load_in_4bit else 8)
+
+        def step_fn_(state, frozen_q, batch, rng):
+            from ..nn.quant import dequantize_tree
+
+            return base_step(state,
+                             dequantize_tree(frozen_q, _fscales, dtype),
+                             batch, rng)
+
+        step_fn = jax.jit(step_fn_)
+        print(f"frozen base quantized "
+              f"({'int4' if args.load_in_4bit else 'int8'}, "
+              f"{len(_fscales)} kernels)")
+    else:
+        step_fn = jax.jit(base_step)
     logger = MetricsLogger(log_dir, use_wandb=args.use_wandb,
                            exp_name=args.exp_name)
     rng = jax.random.PRNGKey(args.seed)

