@@ -19,6 +19,7 @@ import numpy as np
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--model_preset", default="7b")
+    p.add_argument("--decoder", default="llama", choices=["llama", "mpt"])
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--tokenizer", default=None)
     p.add_argument("--precision", default="bf16")
@@ -35,6 +36,7 @@ def main(argv=None):
     from .predictor import Predictor
 
     predictor = Predictor(model_preset=args.model_preset,
+                          decoder=args.decoder,
                           checkpoint=args.checkpoint,
                           tokenizer=args.tokenizer,
                           precision=args.precision,

@@ -55,6 +55,7 @@ def main(argv=None):
     p.add_argument("--benchmark_dir", required=True)
     p.add_argument("--vis_save_path", default="./vis_output")
     p.add_argument("--model_preset", default="7b")
+    p.add_argument("--decoder", default="llama", choices=["llama", "mpt"])
     p.add_argument("--checkpoint", default=None,
                    help="orbax checkpoint dir (random init if absent)")
     p.add_argument("--tokenizer", default=None,
@@ -91,7 +92,7 @@ def main(argv=None):
     tok = load_tokenizer(args.tokenizer,
                          model_max_length=args.max_text_len)
     cfg = ModelConfig.preset(args.model_preset).replace(
-        seg_token_idx=seg_token_idx(tok),
+        seg_token_idx=seg_token_idx(tok), decoder=args.decoder,
         dtype="bfloat16" if args.precision == "bf16" else "float32")
     model = LisaModel(
         cfg=cfg, dtype=jnp.bfloat16 if args.precision == "bf16"

@@ -16,6 +16,7 @@ import numpy as np
 
 class Predictor:
     def __init__(self, model_preset: str = "7b",
+                 decoder: str = "llama",
                  checkpoint: Optional[str] = None,
                  tokenizer: Optional[str] = None, precision: str = "bf16",
                  max_new_tokens: int = 32, max_text_len: int = 320,
@@ -33,7 +34,7 @@ class Predictor:
         self._collate = collate_affordance
         self.tok = load_tokenizer(tokenizer, model_max_length=max_text_len)
         self.cfg = ModelConfig.preset(model_preset).replace(
-            seg_token_idx=seg_token_idx(self.tok))
+            seg_token_idx=seg_token_idx(self.tok), decoder=decoder)
         self.max_text_len = max_text_len
         dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
         self.model = LisaModel(cfg=self.cfg, dtype=dtype)

@@ -97,6 +97,7 @@ def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--root", default="robot_demo")
     p.add_argument("--model_preset", default="7b")
+    p.add_argument("--decoder", default="llama", choices=["llama", "mpt"])
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--tokenizer", default=None)
     p.add_argument("--load_in_8bit", action="store_true")
@@ -117,6 +118,7 @@ def main(argv=None):
              "right" if args.force_right else
              "both" if args.force_both else "")
     predictor = Predictor(model_preset=args.model_preset,
+                          decoder=args.decoder,
                           checkpoint=args.checkpoint,
                           tokenizer=args.tokenizer,
                           load_in_8bit=args.load_in_8bit,
