@@ -69,6 +69,7 @@ def parse_args(argv=None):
                    help="llava_instruct json path")
     p.add_argument("--vqa_image_dir", default=None)
     p.add_argument("--val_benchmark_dir", default=None)
+    p.add_argument("--val_batch_size", type=int, default=1)
     p.add_argument("--samples_per_epoch", type=int, default=10000)
     # optimization (reference defaults: train_ds.py:34-122)
     p.add_argument("--epochs", type=int, default=10)
@@ -344,10 +345,13 @@ def main(argv=None):
         ev = make_jitted_evaluate(model, max_new_tokens=32,
                                   eos_id=tok.eos_token_id)
         ious, iocms = [], []
-        for vi in range(len(val_ds)):
-            sample, _ = val_ds[vi]
+        VB = max(1, args.val_batch_size)
+        for start in range(0, len(val_ds), VB):
+            samples = [val_ds[i][0] for i in
+                       range(start, min(start + VB, len(val_ds)))]
+            pad = VB - len(samples)
             vb = collate_affordance(
-                [sample], tok,
+                samples + [samples[-1]] * pad, tok,
                 sam_image_size=cfg.sam_encoder.image_size,
                 clip_image_size=cfg.clip.image_size,
                 max_text_len=args.model_max_length,
@@ -358,23 +362,25 @@ def main(argv=None):
                      jnp.asarray(vb["images_clip"]),
                      jnp.asarray(vb["input_ids"]),
                      jnp.asarray(vb["attention_mask"]))
-            rh, rw = vb["resizes"][0]
-            orig = sample.image.shape[:2]
-            ml = resize_to_original(
-                np.asarray(res.pred_masks_left), (rh, rw), orig)[0]
-            mr = resize_to_original(
-                np.asarray(res.pred_masks_right), (rh, rw), orig)[0]
-            tax = int(np.argmax(np.asarray(res.taxonomies)[0]))
-            pl_ = (ml > 0).astype(np.uint8)
-            pr_ = (mr > 0).astype(np.uint8)
-            if tax == 0:
-                pr_[:] = 0
-            elif tax == 1:
-                pl_[:] = 0
-            m = union_metrics(pl_, pr_, sample.mask_left,
-                              sample.mask_right)
-            ious.append(m["iou"])
-            iocms.append(m["iocm"])
+            ml_all = np.asarray(res.pred_masks_left)
+            mr_all = np.asarray(res.pred_masks_right)
+            tax_all = np.asarray(res.taxonomies)
+            for i, sample in enumerate(samples):
+                rh, rw = vb["resizes"][i]
+                orig = sample.image.shape[:2]
+                ml = resize_to_original(ml_all[i:i + 1], (rh, rw), orig)[0]
+                mr = resize_to_original(mr_all[i:i + 1], (rh, rw), orig)[0]
+                tax = int(np.argmax(tax_all[i]))
+                pl_ = (ml > 0).astype(np.uint8)
+                pr_ = (mr > 0).astype(np.uint8)
+                if tax == 0:
+                    pr_[:] = 0
+                elif tax == 1:
+                    pl_[:] = 0
+                m = union_metrics(pl_, pr_, sample.mask_left,
+                                  sample.mask_right)
+                ious.append(m["iou"])
+                iocms.append(m["iocm"])
         return float(np.mean(ious)), float(np.mean(iocms))
 
     if args.eval_only:

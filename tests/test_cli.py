@@ -60,7 +60,7 @@ def test_train_cli_micro_run(synth_data, tmp_path):
         "2", "--batch_size", "2", "--grad_accum", "1", "--lr", "1e-3",
         "--warmup_steps", "0", "--model_max_length", "448",
         "--log_base_dir", str(tmp_path / "runs"), "--exp_name", "t",
-        "--print_freq", "1", "--no_remat",
+        "--print_freq", "1", "--no_remat", "--val_batch_size", "2",
     ])
     ckpt = tmp_path / "runs" / "t" / "ckpt_model"
     assert ckpt.is_dir() and any(ckpt.iterdir())
