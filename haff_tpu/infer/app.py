@@ -97,6 +97,11 @@ def main(argv=None):
     p.add_argument("--tokenizer", default=None)
     p.add_argument("--load_in_8bit", action="store_true")
     p.add_argument("--load_in_4bit", action="store_true")
+    p.add_argument("--conv_type", default="llava_v1",
+                   choices=["llava_v1", "llava_llama_2"])
+    p.add_argument("--use_mm_start_end", action="store_true", default=True)
+    p.add_argument("--no_mm_start_end", dest="use_mm_start_end",
+                   action="store_false")
     p.add_argument("--kv_cache_8bit", action="store_true")
     p.add_argument("--threshold", type=float, default=0.5)
     args = p.parse_args(argv)
@@ -109,7 +114,9 @@ def main(argv=None):
                           tokenizer=args.tokenizer,
                           load_in_8bit=args.load_in_8bit,
                           load_in_4bit=args.load_in_4bit,
-                          kv_cache_8bit=args.kv_cache_8bit)
+                          kv_cache_8bit=args.kv_cache_8bit,
+                          conv_type=args.conv_type,
+                          use_mm_start_end=args.use_mm_start_end)
     server = HTTPServer(("0.0.0.0", args.port),
                         make_handler(predictor, args.threshold))
     print(f"demo on http://0.0.0.0:{args.port}")

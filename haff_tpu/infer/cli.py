@@ -67,6 +67,11 @@ def main(argv=None):
                    default=[0.1, 0.2, 0.3, 0.5, 0.7])
     p.add_argument("--precision", default="bf16",
                    choices=["bf16", "fp32"])
+    p.add_argument("--conv_type", default="llava_v1",
+                   choices=["llava_v1", "llava_llama_2"])
+    p.add_argument("--use_mm_start_end", action="store_true", default=True)
+    p.add_argument("--no_mm_start_end", dest="use_mm_start_end",
+                   action="store_false")
     p.add_argument("--load_in_8bit", action="store_true",
                    help="int8 weight-only LLM quantization (the TPU "
                         "analog of the reference's bitsandbytes path; "
@@ -109,6 +114,8 @@ def main(argv=None):
                             sam_image_size=cfg.sam_encoder.image_size,
                             clip_image_size=cfg.clip.image_size,
                             max_text_len=args.max_text_len,
+                            conv_type=args.conv_type,
+                            use_mm_start_end=args.use_mm_start_end,
                             for_training=False)
     tb0 = TrainBatch(**{k: jnp.asarray(v) for k, v in b0.items()
                         if k != "resizes"})
@@ -142,7 +149,9 @@ def main(argv=None):
             samples + [samples[-1]] * pad, tok,
             sam_image_size=cfg.sam_encoder.image_size,
             clip_image_size=cfg.clip.image_size,
-            max_text_len=args.max_text_len, for_training=False)
+            max_text_len=args.max_text_len, conv_type=args.conv_type,
+            use_mm_start_end=args.use_mm_start_end,
+            for_training=False)
         res = ev(params,
                  jnp.asarray(batch["images_sam"]),
                  jnp.asarray(batch["images_clip"]),

@@ -21,7 +21,9 @@ class Predictor:
                  tokenizer: Optional[str] = None, precision: str = "bf16",
                  max_new_tokens: int = 32, max_text_len: int = 320,
                  load_in_8bit: bool = False, load_in_4bit: bool = False,
-                 kv_cache_8bit: bool = False):
+                 kv_cache_8bit: bool = False,
+                 conv_type: str = "llava_v1",
+                 use_mm_start_end: bool = True):
         import jax
         import jax.numpy as jnp
 
@@ -36,6 +38,8 @@ class Predictor:
         self.cfg = ModelConfig.preset(model_preset).replace(
             seg_token_idx=seg_token_idx(self.tok), decoder=decoder)
         self.max_text_len = max_text_len
+        self.conv_type = conv_type
+        self.use_mm_start_end = use_mm_start_end
         dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
         self.model = LisaModel(cfg=self.cfg, dtype=dtype)
 
@@ -48,7 +52,8 @@ class Predictor:
             [Sample(image=dummy, question="<image>\nx", answer=None)],
             self.tok, sam_image_size=self.cfg.sam_encoder.image_size,
             clip_image_size=self.cfg.clip.image_size,
-            max_text_len=max_text_len, for_training=False)
+            max_text_len=max_text_len, conv_type=conv_type,
+            use_mm_start_end=use_mm_start_end, for_training=False)
         tb0 = TrainBatch(**{k: jnp.asarray(v) for k, v in b0.items()
                             if k != "resizes"})
         self.params = jax.jit(self.model.init)(jax.random.PRNGKey(0), tb0)
@@ -80,7 +85,8 @@ class Predictor:
             [Sample(image=image, question=question, answer=None)],
             self.tok, sam_image_size=self.cfg.sam_encoder.image_size,
             clip_image_size=self.cfg.clip.image_size,
-            max_text_len=self.max_text_len, for_training=False)
+            max_text_len=self.max_text_len, conv_type=self.conv_type,
+            use_mm_start_end=self.use_mm_start_end, for_training=False)
         res = self._eval(self.params,
                          jnp.asarray(batch["images_sam"]),
                          jnp.asarray(batch["images_clip"]),

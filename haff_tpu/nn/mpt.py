@@ -95,6 +95,9 @@ class MptAttention(nn.Module):
             b, l, nkv, hd)
         v = fused[..., cfg.d_model + nkv * hd:].reshape(b, l, nkv, hd)
 
+        from .quant import QuantArray, dequantize_activation, \
+            quantize_activation
+
         new_cache = None
         if kv_cache is not None:
             ck, cv = kv_cache
@@ -103,12 +106,23 @@ class MptAttention(nn.Module):
             write = jax.vmap(
                 lambda c, kk, i: jax.lax.dynamic_update_slice(
                     c, kk, (i, 0, 0)))
-            ck = write(ck, k.astype(ck.dtype), cache_index)
-            cv = write(cv, v.astype(cv.dtype), cache_index)
+            if isinstance(ck, QuantArray):
+                # int8 KV cache (same scheme as the LLaMA backend).
+                qk, qv = quantize_activation(k), quantize_activation(v)
+                ck = QuantArray(write(ck.values, qk.values, cache_index),
+                                write(ck.scales, qk.scales, cache_index))
+                cv = QuantArray(write(cv.values, qv.values, cache_index),
+                                write(cv.scales, qv.scales, cache_index))
+            else:
+                ck = write(ck, k.astype(ck.dtype), cache_index)
+                cv = write(cv, v.astype(cv.dtype), cache_index)
             new_cache = (ck, cv)
 
         if kv_cache is not None and l == 1:
             ck, cv = new_cache
+            if isinstance(ck, QuantArray):
+                ck = dequantize_activation(ck, q.dtype)
+                cv = dequantize_activation(cv, q.dtype)
             k_full = jnp.repeat(ck, nh // nkv, axis=2) if nkv != nh else ck
             v_full = jnp.repeat(cv, nh // nkv, axis=2) if nkv != nh else cv
             bias = alibi_column_bias(nh, ck.shape[1], cfg.alibi_bias_max)

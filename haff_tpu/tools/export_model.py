@@ -52,14 +52,36 @@ def _build(model_preset: str, checkpoint: Optional[str], precision: str):
     text = jnp.zeros((1, 1, E), jnp.float32)
     params = jax.jit(model.init)(jax.random.PRNGKey(0), img, text)
     if checkpoint:
-        from ..train.checkpoints import restore_checkpoint
+        # Converted full-LISA params dir (tools/convert_cli output);
+        # the SAM stack lives under visual_model there. Restore against
+        # an abstract LisaModel tree (no materialized init) and graft
+        # the visual_model subtree, whose layout matches Sam exactly.
+        import numpy as np
+        from flax.core import meta as flax_meta
 
-        # The full-LISA checkpoint tree nests SAM under visual_model.
-        try:
-            params, _ = restore_checkpoint(checkpoint, params)
-        except Exception:
-            from ..model.lisa import LisaModel  # noqa: F401
-            raise
+        from ..core.config import IMAGE_TOKEN_INDEX
+        from ..model.lisa import LisaModel, TrainBatch
+        from ..train.checkpoints import restore_params
+
+        lisa = LisaModel(cfg=cfg, dtype=dtype)
+        C = cfg.clip.image_size
+        ids = np.full((1, 16), 5, np.int32)
+        ids[0, 1] = IMAGE_TOKEN_INDEX
+        tb = TrainBatch(
+            images_sam=jnp.zeros((1, S, S, 3)),
+            images_clip=jnp.zeros((1, C, C, 3)),
+            image_index=jnp.zeros((1,), jnp.int32),
+            input_ids=jnp.asarray(ids), labels=jnp.asarray(ids),
+            attention_mask=jnp.ones((1, 16), jnp.int32),
+            masks_left=jnp.zeros((1, S, S)),
+            masks_right=jnp.zeros((1, S, S)),
+            taxonomies=jnp.zeros((1, 4)),
+            valid_region=jnp.ones((1, S, S)),
+            sample_weight=jnp.ones((1,)))
+        abstract = flax_meta.unbox(jax.eval_shape(
+            lambda: lisa.init(jax.random.PRNGKey(0), tb))["params"])
+        restored = restore_params(checkpoint, abstract)
+        params = {"params": restored["visual_model"]}
     return cfg, model, params
 
 

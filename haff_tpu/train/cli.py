@@ -212,11 +212,11 @@ def main(argv=None):
         elif n == "refer_seg":
             from ..data.seg_datasets import ReferSegDataset
 
-            base = args.refer_seg_data
+            refer_base = args.refer_seg_data
             corpora.append(ReferSegDataset(
-                os.path.join(base, "refs.json"),
-                os.path.join(base, "instances.json"),
-                os.path.join(base, "images"), seed=seed))
+                os.path.join(refer_base, "refs.json"),
+                os.path.join(refer_base, "instances.json"),
+                os.path.join(refer_base, "images"), seed=seed))
         elif n == "reason_seg":
             from ..data.extra_datasets import ReasonSegDataset
 
@@ -292,8 +292,13 @@ def main(argv=None):
     start_epoch = 0
     if args.resume:
         state, step = restore_checkpoint(args.resume, state)
-        if step is not None:
-            print(f"resumed from {args.resume} step {step}")
+        if step is None:
+            raise SystemExit(
+                f"--resume {args.resume}: no checkpoint found")
+        start_epoch = int(step) // (args.steps_per_epoch
+                                    * args.grad_accum)
+        print(f"resumed from {args.resume} step {step} "
+              f"(epoch {start_epoch})")
     elif args.auto_resume:
         state, step = restore_checkpoint(ckpt_dir, state)
         if step is not None:
@@ -310,7 +315,7 @@ def main(argv=None):
         # inside the jitted step and fuses into the consuming matmuls.
         from ..nn.quant import default_llm_predicate, quantize_tree
 
-        frozen, _fscales = quantize_tree(
+        frozen, frozen_scales = quantize_tree(
             frozen, default_llm_predicate,
             bits=4 if args.load_in_4bit else 8)
 
@@ -318,14 +323,16 @@ def main(argv=None):
             from ..nn.quant import dequantize_tree
 
             return base_step(state,
-                             dequantize_tree(frozen_q, _fscales, dtype),
+                             dequantize_tree(frozen_q, frozen_scales,
+                                             dtype),
                              batch, rng)
 
         step_fn = jax.jit(step_fn_)
         print(f"frozen base quantized "
               f"({'int4' if args.load_in_4bit else 'int8'}, "
-              f"{len(_fscales)} kernels)")
+              f"{len(frozen_scales)} kernels)")
     else:
+        frozen_scales = None
         step_fn = jax.jit(base_step)
     logger = MetricsLogger(log_dir, use_wandb=args.use_wandb,
                            exp_name=args.exp_name)
@@ -342,8 +349,18 @@ def main(argv=None):
         from ..infer.evaluate import make_jitted_evaluate
         from ..nn.sam import resize_to_original
 
+        # In QLoRA mode the frozen partition is int8/int4; the merged
+        # eval params carry those kernels and the jitted evaluate
+        # dequantizes them (same path as int8 serving).
+        # scale keys are relative to the params tree; the evaluate fn
+        # sees the full variables dict, so prefix them.
+        ev_scales = ({("params",) + k: v
+                      for k, v in frozen_scales.items()}
+                     if frozen_scales else None)
         ev = make_jitted_evaluate(model, max_new_tokens=32,
-                                  eos_id=tok.eos_token_id)
+                                  eos_id=tok.eos_token_id,
+                                  quant_scales=ev_scales,
+                                  quant_dtype=dtype)
         ious, iocms = [], []
         VB = max(1, args.val_batch_size)
         for start in range(0, len(val_ds), VB):
@@ -355,6 +372,7 @@ def main(argv=None):
                 sam_image_size=cfg.sam_encoder.image_size,
                 clip_image_size=cfg.clip.image_size,
                 max_text_len=args.model_max_length,
+                conv_type=args.conv_type,
                 use_mm_start_end=args.use_mm_start_end,
                 for_training=False)
             res = ev({"params": merged},

@@ -162,3 +162,22 @@ def test_partition_params_exclude_mask_decoder():
     assert not any("mask_decoder" in "/".join(k) for k in tkeys)
     fkeys = set(traverse_util.flatten_dict(frozen))
     assert ("visual_model", "mask_decoder_left", "w") in fkeys
+
+
+def test_train_cli_qlora_with_validation(synth_data, tmp_path):
+    """--load_in_8bit + validation: the merged eval params carry int8
+    kernels and must be dequantized inside evaluate (regression: raw
+    int8 values were used as weights, corrupting val metrics)."""
+    from haff_tpu.train.cli import main
+
+    shards, bench = synth_data
+    main([
+        "--dataset_dir", shards, "--val_benchmark_dir", bench,
+        "--model_preset", "tiny", "--epochs", "1", "--steps_per_epoch",
+        "1", "--batch_size", "2", "--grad_accum", "1", "--lr", "1e-3",
+        "--warmup_steps", "0", "--model_max_length", "448",
+        "--log_base_dir", str(tmp_path / "runs"), "--exp_name", "q",
+        "--print_freq", "1", "--no_remat", "--load_in_8bit",
+    ])
+    ckpt = tmp_path / "runs" / "q" / "ckpt_model"
+    assert ckpt.is_dir() and any(ckpt.iterdir())

@@ -220,3 +220,49 @@ def test_converted_params_load_in_clis(tmp_path, monkeypatch):
     a = np.asarray(got["text_fc1"]["kernel"])
     np.testing.assert_allclose(a, np.asarray(ref["text_fc1"]["kernel"]),
                                rtol=1e-6)
+
+
+def test_export_model_from_converted_checkpoint(tmp_path):
+    """--checkpoint on the export tool restores a convert_cli params dir
+    (regression: the restore target mismatched both orbax layouts and
+    every checkpointed export crashed)."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from haff_tpu.tools.convert_cli import main as convert_main
+    from haff_tpu.tools.export_model import load_exported, main as export_main
+
+    conv = str(tmp_path / "conv")
+    convert_main(["--preset", "tiny", "--out", conv])
+    out = str(tmp_path / "dec.stablehlo")
+    export_main(["--component", "decoder", "--out", out,
+                 "--model_preset", "tiny", "--precision", "fp32",
+                 "--checkpoint", conv])
+    # artifact must reproduce the checkpoint weights (seed-0 init),
+    # not a fresh random init of the Sam module
+    from haff_tpu.core.config import ModelConfig
+    from haff_tpu.model.lisa import LisaModel, TrainBatch
+    import sys
+    sys.path.insert(0, "tests")
+    from test_lisa_model import make_tiny_batch
+
+    cfg = ModelConfig.preset("tiny")
+    lisa = LisaModel(cfg=cfg)
+    lp = jax.jit(lisa.init)(jax.random.PRNGKey(0),
+                            make_tiny_batch(cfg))
+    from flax.core import meta as flax_meta
+    sam_params = {"params": flax_meta.unbox(lp["params"])["visual_model"]}
+
+    from haff_tpu.nn.sam import Sam
+    sam = Sam(encoder_cfg=cfg.sam_encoder, decoder_cfg=cfg.sam_decoder)
+    rng = np.random.RandomState(0)
+    G, C = cfg.sam_encoder.grid_size, cfg.sam_encoder.out_chans
+    E = cfg.sam_decoder.prompt_embed_dim
+    emb = jnp.asarray(rng.randn(1, G, G, C).astype(np.float32))
+    text = jnp.asarray(rng.randn(1, 1, E).astype(np.float32))
+    ref = sam.apply(sam_params, emb, text, method="decode_masks")
+    got = load_exported(out)(emb, text)
+    for a, b in zip(got, ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)

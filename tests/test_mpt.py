@@ -102,3 +102,33 @@ def test_lisa_with_mpt_backend():
              batch.input_ids[:2], batch.attention_mask[:2])
     assert res.output_ids.shape == (2, 3)
     assert np.isfinite(np.asarray(res.pred_masks_left)).all()
+
+
+def test_mpt_evaluate_int8_kv_cache():
+    """--decoder mpt + --kv_cache_8bit: the MPT cache write/read must
+    handle QuantArray caches (regression: only llama had the branch)."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_lisa_model import make_tiny_batch
+
+    from haff_tpu.core.config import ModelConfig
+    from haff_tpu.infer.evaluate import make_jitted_evaluate
+    from haff_tpu.model.lisa import LisaModel
+
+    cfg = ModelConfig.preset("tiny").replace(decoder="mpt")
+    model = LisaModel(cfg=cfg)
+    batch = make_tiny_batch(cfg)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+    ev = make_jitted_evaluate(model, max_new_tokens=3, eos_id=2,
+                              kv_cache_8bit=True)
+    res = ev(params, batch.images_sam, batch.images_clip,
+             batch.input_ids[:2], batch.attention_mask[:2])
+    assert np.isfinite(np.asarray(res.pred_masks_left)).all()
+
+    # int8-cache decode tracks the fp-cache decode
+    ref = make_jitted_evaluate(model, max_new_tokens=3, eos_id=2)(
+        params, batch.images_sam, batch.images_clip,
+        batch.input_ids[:2], batch.attention_mask[:2])
+    agree = (np.asarray(res.output_ids) == np.asarray(ref.output_ids)).mean()
+    assert agree >= 0.5, agree
