@@ -89,9 +89,11 @@ def test_infer_cli_and_benchmark_eval(synth_data, tmp_path):
     buf = io.StringIO()
     with redirect_stdout(buf):
         eval_main(["--benchmark_dir", bench, "--comparison_dir", vis,
-                   "--map", "--thresholds", "0.3", "0.5"])
+                   "--map", "--thresholds", "0.3", "0.5", "--cropped"])
     result = json.loads(buf.getvalue())
-    assert "map_iou" in result and "0.5" in map(str, result["per_threshold"])
+    assert "map_precision" in result
+    assert "0.5" in map(str, result["per_threshold"])
+    assert result["best_threshold"] is not None
 
 
 def test_train_cli_hybrid_mix(synth_data, tmp_path):
