@@ -142,10 +142,19 @@ class AffDataset:
 
     def get(self, index: int) -> Sample:
         if self.hf_data is not None:
+            # Schema fallbacks mirror the reference's
+            # _extract_from_hf_dataset (aff_dataset.py:286-300):
+            # narration|text, inpainted|image, taxonomy optional.
             item = self.hf_data[index]
-            narration = item["narration"]
-            image = np.asarray(item["inpainted"])
-            taxonomy = np.asarray(item["taxonomy"], np.float32)
+            narration = item.get("narration", item.get("text", ""))
+            img_src = item.get("inpainted", item.get("image"))
+            if img_src is None:
+                raise KeyError(
+                    f"hub item {index} has neither 'inpainted' nor "
+                    f"'image' (keys: {sorted(item)})")
+            image = np.asarray(img_src)
+            taxonomy = np.asarray(
+                item.get("taxonomy", [0.0, 0.0, 1.0, 0.0]), np.float32)
         else:
             narration, image, taxonomy = self._read_h5(index)
             image = np.asarray(image)
@@ -168,9 +177,23 @@ class AffDataset:
 
 
 class AffDatasetVal:
-    """Benchmark folder walker (reference aff_dataset.py:350-544)."""
+    """Benchmark folder walker (reference aff_dataset.py:350-544).
 
-    def __init__(self, benchmark_dir: str):
+    require_masks=True mirrors the reference VALIDATION walker, which
+    skips frames missing BOTH aff masks (aff_dataset.py:506); the
+    inference CLI passes False (reference inference.py needs only
+    inpainting + annotation — it writes predictions, not metrics).
+
+    style="validate" builds the training-style prompt (random SHORT
+    template, lowercased narration — aff_dataset.py:234-238);
+    style="inference" uses the benchmark prompt with ORIGINAL casing
+    (inference.py:221-226, no lowercase)."""
+
+    def __init__(self, benchmark_dir: str, require_masks: bool = True,
+                 style: str = "validate", seed: int = 0):
+        assert style in ("validate", "inference")
+        self.style = style
+        self.rng = np.random.RandomState(seed)
         self.entries: List[Dict] = []
         for vid in sorted(os.listdir(benchmark_dir)):
             vdir = os.path.join(benchmark_dir, vid)
@@ -180,9 +203,14 @@ class AffDatasetVal:
                 fdir = os.path.join(vdir, frame)
                 img = os.path.join(fdir, "inpainting.png")
                 ann = os.path.join(fdir, "annotation.json")
-                if os.path.exists(img) and os.path.exists(ann):
-                    self.entries.append(
-                        dict(vid=vid, frame=frame, dir=fdir))
+                if not (os.path.exists(img) and os.path.exists(ann)):
+                    continue
+                if require_masks and not (
+                        os.path.exists(os.path.join(fdir, "aff_left.png"))
+                        or os.path.exists(
+                            os.path.join(fdir, "aff_right.png"))):
+                    continue
+                self.entries.append(dict(vid=vid, frame=frame, dir=fdir))
 
     def __len__(self):
         return len(self.entries)
@@ -202,12 +230,17 @@ class AffDatasetVal:
             p = os.path.join(e["dir"], name)
             if os.path.exists(p):
                 m = cv2.imread(p, cv2.IMREAD_GRAYSCALE)
-                return (m > 127).astype(np.uint8)
+                return (m > 0).astype(np.uint8)
             return np.zeros(img.shape[:2], np.uint8)  # missing hand -> 0
 
-        from .prompts import INFERENCE_QUESTION
+        from .prompts import INFERENCE_QUESTION, SHORT_QUESTION_LIST
 
-        q = INFERENCE_QUESTION.format(class_name=str(narration).lower())
+        if self.style == "inference":
+            # Reference inference.py keeps the narration's casing.
+            q = INFERENCE_QUESTION.format(class_name=str(narration))
+        else:
+            q = str(self.rng.choice(SHORT_QUESTION_LIST)).format(
+                class_name=str(narration).lower())
         sample = Sample(image=img, question=q, answer=None,
                         mask_left=load_mask("aff_left.png"),
                         mask_right=load_mask("aff_right.png"),

@@ -25,6 +25,8 @@ from typing import List, Optional, Sequence, Tuple
 import numpy as np
 
 from .collate import Sample
+from .prompts import ANSWER_LIST
+from .seg_datasets import SEG_QUESTION_LIST
 
 LONG_QUESTION_LIST = [
     "<image>\n{sent} Please respond with segmentation mask.",
@@ -34,6 +36,7 @@ LONG_QUESTION_LIST = [
 EXPLANATORY_QUESTION_LIST = [
     "Please output segmentation mask and explain why.",
     "Please output segmentation mask and explain the reason.",
+    "Please output segmentation mask and give some explanation.",
 ]
 
 
@@ -110,11 +113,13 @@ class ReasonSegDataset:
         mask, text, is_sentence = get_mask_from_json(
             img_path.replace(".jpg", ".json"), image)
         if is_sentence:
-            q = self.rng.choice(LONG_QUESTION_LIST).format(sent=text)
+            q = str(self.rng.choice(LONG_QUESTION_LIST)).format(sent=text)
         else:
-            q = ("<image>\nWhat is {cls} in this picture? Please respond "
-                 "with segmentation mask.").format(cls=text.lower())
-        answer = "It is [SEG]."
+            # reference reason_seg_dataset.py: random SHORT template,
+            # lowercased class text
+            q = str(self.rng.choice(SEG_QUESTION_LIST)).format(
+                class_name=text.lower())
+        answer = str(self.rng.choice(ANSWER_LIST))
         mask_left = (mask == 1).astype(np.uint8)
         taxonomy = np.asarray([1, 0, 0, 0], np.float32)
 
@@ -124,7 +129,8 @@ class ReasonSegDataset:
             choice = 2 if self.rng.rand() < self.explanatory \
                 else int(self.rng.randint(0, 2))
             if choice == 1:    # [SEG] + text answer
-                answer = "It is [SEG]. " + exp["outputs"]
+                answer = (str(self.rng.choice(ANSWER_LIST)) + " "
+                          + exp["outputs"])
                 q = ("<image>\n" + text + " "
                      + self.rng.choice(EXPLANATORY_QUESTION_LIST))
             elif choice == 2:  # vanilla text answer, no mask supervision
@@ -161,11 +167,22 @@ class VqaDataset:
             cv2.imread(os.path.join(self.image_dir, item["image"])),
             cv2.COLOR_BGR2RGB)
         conv = item["conversations"]
-        q = conv[0]["value"]
-        if "<image>" not in q:
-            q = "<image>\n" + q
-        a = conv[1]["value"] if len(conv) > 1 else ""
-        return Sample(image=image, question=q, answer=a)
+        # Reference preprocess_multimodal: strip any embedded <image>
+        # and prepend '<image>\n' to the FIRST human turn; keep every
+        # (human, gpt) round (vqa_dataset.py builds one multi-turn
+        # conversation, all answers supervised).
+        turns = []
+        for i in range(0, len(conv) - 1, 2):
+            q = conv[i]["value"]
+            a = conv[i + 1]["value"]
+            if i == 0:
+                q = "<image>\n" + q.replace("<image>", "").strip()
+            turns.append((q, a))
+        if not turns:
+            turns = [("<image>\n" + conv[0]["value"]
+                      .replace("<image>", "").strip(), "")]
+        return Sample(image=image, question=turns[0][0],
+                      answer=turns[0][1], turns=turns)
 
     def __getitem__(self, idx) -> Sample:
         return self.get(int(self.rng.randint(0, len(self.items))))

@@ -21,11 +21,15 @@ from typing import Dict, List, Optional, Sequence
 import numpy as np
 
 from .collate import Sample
+from .prompts import ANSWER_LIST
 
+# Reference utils/utils.py:14-23 SHORT_QUESTION_LIST (all 4 templates).
 SEG_QUESTION_LIST = [
     "<image>\nCan you segment the {class_name} in this image?",
     "<image>\nPlease segment the {class_name} in this image.",
     "<image>\nWhat is {class_name} in this image? Please respond with "
+    "segmentation mask.",
+    "<image>\nWhat is {class_name} in this image? Please output "
     "segmentation mask.",
 ]
 
@@ -64,7 +68,7 @@ class SemSegDataset:
         mask = (ann == class_id).astype(np.uint8)
         name = self.classes[class_id]
         q = self.rng.choice(SEG_QUESTION_LIST).format(class_name=name)
-        return Sample(image=image, question=q, answer="It is [SEG].",
+        return Sample(image=image, question=q, answer=str(self.rng.choice(ANSWER_LIST)),
                       mask_left=mask, mask_right=None,
                       taxonomy=np.asarray([1, 0, 0, 0], np.float32))
 
@@ -141,7 +145,7 @@ class ReferSegDataset:
             [s["sent"] if isinstance(s, dict) else s
              for s in ref["sentences"]])
         q = self.rng.choice(SEG_QUESTION_LIST).format(class_name=sent)
-        return Sample(image=image, question=q, answer="It is [SEG].",
+        return Sample(image=image, question=q, answer=str(self.rng.choice(ANSWER_LIST)),
                       mask_left=mask.astype(np.uint8), mask_right=None,
                       taxonomy=np.asarray([1, 0, 0, 0], np.float32))
 

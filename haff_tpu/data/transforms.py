@@ -26,11 +26,15 @@ def get_preprocess_shape(h: int, w: int, long_side: int) -> Tuple[int, int]:
 
 
 def resize_longest_side(image: np.ndarray, long_side: int) -> np.ndarray:
-    import cv2
+    """PIL bilinear (antialiased) — the reference resizes through
+    torchvision's to_pil_image + resize (transforms.py:30-34), whose
+    pixel math differs from cv2.INTER_LINEAR on downscale."""
+    from PIL import Image
 
     h, w = image.shape[:2]
     nh, nw = get_preprocess_shape(h, w, long_side)
-    return cv2.resize(image, (nw, nh), interpolation=cv2.INTER_LINEAR)
+    return np.asarray(Image.fromarray(image).resize(
+        (nw, nh), Image.BILINEAR))
 
 
 def sam_preprocess(image: np.ndarray, image_size: int = 1024):
@@ -46,14 +50,19 @@ def sam_preprocess(image: np.ndarray, image_size: int = 1024):
 
 def clip_preprocess(image: np.ndarray, image_size: int = 224) -> np.ndarray:
     """uint8 RGB -> (image_size, image_size, 3) f32, HF CLIPImageProcessor
-    semantics: bicubic resize of the SHORT side to image_size, center crop,
-    scale 1/255, normalize with CLIP stats."""
-    import cv2
+    semantics: PIL-bicubic resize of the SHORT side to image_size (the
+    long side is int-TRUNCATED, matching transformers'
+    get_resize_output_image_size), center crop, scale 1/255, normalize
+    with CLIP stats."""
+    from PIL import Image
 
     h, w = image.shape[:2]
-    scale = image_size / min(h, w)
-    nh, nw = round(h * scale), round(w * scale)
-    resized = cv2.resize(image, (nw, nh), interpolation=cv2.INTER_CUBIC)
+    if h <= w:
+        nh, nw = image_size, int(image_size * w / h)
+    else:
+        nh, nw = int(image_size * h / w), image_size
+    resized = np.asarray(Image.fromarray(image).resize(
+        (nw, nh), Image.BICUBIC))
     top = (nh - image_size) // 2
     left = (nw - image_size) // 2
     crop = resized[top:top + image_size, left:left + image_size]

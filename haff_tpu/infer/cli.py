@@ -103,7 +103,8 @@ def main(argv=None):
         cfg=cfg, dtype=jnp.bfloat16 if args.precision == "bf16"
         else jnp.float32)
 
-    ds = AffDatasetVal(args.benchmark_dir)
+    ds = AffDatasetVal(args.benchmark_dir, require_masks=False,
+                       style="inference")
     print(f"benchmark frames: {len(ds)}")
     if not len(ds):
         return
@@ -116,6 +117,7 @@ def main(argv=None):
                             max_text_len=args.max_text_len,
                             conv_type=args.conv_type,
                             use_mm_start_end=args.use_mm_start_end,
+                            use_template=False,
                             for_training=False)
     tb0 = TrainBatch(**{k: jnp.asarray(v) for k, v in b0.items()
                         if k != "resizes"})
@@ -151,7 +153,7 @@ def main(argv=None):
             clip_image_size=cfg.clip.image_size,
             max_text_len=args.max_text_len, conv_type=args.conv_type,
             use_mm_start_end=args.use_mm_start_end,
-            for_training=False)
+            use_template=False, for_training=False)
         res = ev(params,
                  jnp.asarray(batch["images_sam"]),
                  jnp.asarray(batch["images_clip"]),

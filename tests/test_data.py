@@ -191,3 +191,54 @@ def test_llama_2_label_boundary():
     # supervised ids decode back to the answer (+eos)
     txt = tok.decode([ids[i] for i in sup if ids[i] >= 0])
     assert "[SEG]" in txt and "Do the thing" not in txt
+
+
+def test_clip_preprocess_matches_hf_processor():
+    """clip_preprocess must reproduce HF CLIPImageProcessor exactly
+    (the checkpoint's training-time preprocessing): int-truncated long
+    side, PIL bicubic, center crop, CLIP stats."""
+    from transformers import CLIPImageProcessor
+
+    from haff_tpu.data.transforms import clip_preprocess
+
+    proc = CLIPImageProcessor()  # defaults = openai/clip-vit 224 config
+    rng = np.random.RandomState(0)
+    for shape in ((480, 640, 3), (333, 250, 3), (224, 224, 3)):
+        img = rng.randint(0, 256, shape, np.uint8)
+        ref = proc.preprocess(img, return_tensors="np")["pixel_values"][0]
+        ours = clip_preprocess(img).transpose(2, 0, 1)
+        np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_label_boundary_supervises_first_answer_token():
+    """The common-prefix boundary must supervise the FIRST answer token
+    even when the tokenizer merges the role marker's trailing space into
+    it (SentencePiece phantom token)."""
+    from haff_tpu.core.config import IGNORE_INDEX
+    from haff_tpu.data.collate import tokenize_conversation
+    from haff_tpu.data.tokenizer import load_tokenizer
+
+    tok = load_tokenizer(None, model_max_length=512)
+    ids, labels = tokenize_conversation(
+        "<image>\nDo the thing.", "It is [SEG].", tok)
+    sup = [ids[i] for i, l in enumerate(labels) if l != IGNORE_INDEX]
+    txt = tok.decode([t for t in sup if t >= 0])
+    assert txt.lstrip().startswith("It is"), txt
+
+
+def test_multiturn_vqa_supervision():
+    """Multi-turn conversations supervise EVERY answer span (reference
+    vqa_dataset.py keeps all rounds in one conversation)."""
+    from haff_tpu.core.config import IGNORE_INDEX
+    from haff_tpu.data.collate import tokenize_multiturn
+    from haff_tpu.data.tokenizer import load_tokenizer
+
+    tok = load_tokenizer(None, model_max_length=2048)
+    turns = [("<image>\nWhat is shown?", "A red mug."),
+             ("Where is it?", "On the table.")]
+    ids, labels = tokenize_multiturn(turns, tok)
+    assert len(ids) == len(labels)
+    sup = tok.decode([ids[i] for i, l in enumerate(labels)
+                      if l != IGNORE_INDEX and ids[i] >= 0])
+    assert "A red mug." in sup and "On the table." in sup, sup
+    assert "What is shown?" not in sup and "Where is it?" not in sup, sup
