@@ -18,7 +18,7 @@ re-designed TPU-first:
 
 from __future__ import annotations
 
-from typing import Any, Dict, NamedTuple, Optional
+from typing import NamedTuple
 
 import flax.linen as nn
 import jax
@@ -26,7 +26,7 @@ import jax.numpy as jnp
 
 from ..core.config import ModelConfig
 from ..nn.clip_vit import ClipVisionTower
-from ..nn.llama import EMBED, LlamaForCausalLM
+from ..nn.llama import LlamaForCausalLM
 from ..nn.sam import Sam, postprocess_masks_padded
 from . import losses as L
 from .multimodal import (
@@ -177,11 +177,8 @@ class LisaModel(nn.Module):
             batch.taxonomies, valid=batch.valid_region,
             sample_weight=weight, bce_weight=cfg.bce_loss_weight,
             dice_weight=cfg.dice_loss_weight)
-        # taxonomy CE averaged over real rows only
-        tax_per = -jnp.sum(
-            batch.taxonomies.astype(jnp.float32)
-            * jax.nn.log_softmax(taxonomy.astype(jnp.float32), -1), -1)
-        tax_ce = jnp.sum(tax_per * weight) / jnp.maximum(jnp.sum(weight), 1.0)
+        tax_ce = L.taxonomy_ce_loss(taxonomy, batch.taxonomies,
+                                    sample_weight=weight)
 
         total = ce + bce + dice + tax_ce
         return LisaOutputs(

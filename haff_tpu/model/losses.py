@@ -67,15 +67,20 @@ def language_model_loss(logits: jnp.ndarray, labels: jnp.ndarray,
 
 
 def taxonomy_ce_loss(pred_taxonomy_probs: jnp.ndarray,
-                     gt_taxonomy: jnp.ndarray) -> jnp.ndarray:
+                     gt_taxonomy: jnp.ndarray,
+                     sample_weight=None) -> jnp.ndarray:
     """Reference quirk reproduced deliberately: the taxonomy head already
     softmaxes its logits (mask_decoder.py predict_taxonomy) and
     CrossEntropyLoss(mean) with soft targets then applies log_softmax AGAIN
     over the probabilities (LISA.py taxonomy_ce_loss). Training-dynamics
-    parity requires the same double softmax."""
+    parity requires the same double softmax. sample_weight averages over
+    real batch rows only (padded rows excluded)."""
     logp = jax.nn.log_softmax(pred_taxonomy_probs.astype(jnp.float32), -1)
     per_sample = -jnp.sum(gt_taxonomy.astype(jnp.float32) * logp, axis=-1)
-    return jnp.mean(per_sample)
+    if sample_weight is None:
+        return jnp.mean(per_sample)
+    w = sample_weight.astype(jnp.float32)
+    return jnp.sum(per_sample * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
 def bimanual_mask_losses(pred_left, pred_right, gt_left, gt_right,
@@ -97,9 +102,9 @@ def bimanual_mask_losses(pred_left, pred_right, gt_left, gt_right,
         sample_weight = jnp.ones(pred_left.shape[0], jnp.float32)
     num_masks = jnp.sum(sample_weight)
 
-    if valid is not None and sample_weight is not None:
+    if valid is not None:
         valid = valid * sample_weight[:, None, None]
-    elif sample_weight is not None:
+    else:
         valid = jnp.broadcast_to(
             sample_weight[:, None, None],
             pred_left.shape).astype(jnp.float32)

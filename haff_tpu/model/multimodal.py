@@ -17,7 +17,6 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional, Tuple
 
-import jax
 import jax.numpy as jnp
 
 from ..core.config import IGNORE_INDEX, IMAGE_TOKEN_INDEX
