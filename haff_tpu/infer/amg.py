@@ -38,11 +38,18 @@ def mask_to_rle(mask: np.ndarray) -> Dict:
 
 
 def mask_to_box(mask: np.ndarray) -> List[int]:
+    """Inclusive XYXY [x0, y0, xmax, ymax] (reference
+    amg.py batched_mask_to_box)."""
     ys, xs = np.nonzero(mask)
     if len(xs) == 0:
         return [0, 0, 0, 0]
-    return [int(xs.min()), int(ys.min()), int(xs.max()) + 1,
-            int(ys.max()) + 1]
+    return [int(xs.min()), int(ys.min()), int(xs.max()), int(ys.max())]
+
+
+def box_xyxy_to_xywh(box: List[int]) -> List[int]:
+    """Reference amg.py box_xyxy_to_xywh: records carry XYWH."""
+    x0, y0, x1, y1 = box
+    return [x0, y0, x1 - x0, y1 - y0]
 
 
 def box_iou(a, b) -> float:
@@ -57,11 +64,16 @@ def box_iou(a, b) -> float:
 
 
 def nms(records: List[Dict], iou_thresh: float) -> List[Dict]:
+    """Greedy box NMS on the internal XYXY boxes; the public bbox field
+    stays XYWH like the reference's output records."""
     records = sorted(records, key=lambda r: -r["predicted_iou"])
     kept: List[Dict] = []
     for r in records:
-        if all(box_iou(r["bbox"], k["bbox"]) < iou_thresh for k in kept):
+        if all(box_iou(r["_bbox_xyxy"], k["_bbox_xyxy"]) < iou_thresh
+               for k in kept):
             kept.append(r)
+    for r in kept:
+        r.pop("_bbox_xyxy", None)
     return kept
 
 
@@ -115,9 +127,11 @@ class AutomaticMaskGenerator:
                     mask = logits[i, j] > 0
                     if not mask.any():
                         continue
+                    box = mask_to_box(mask)
                     records.append(dict(
                         segmentation=mask_to_rle(mask),
-                        bbox=mask_to_box(mask),
+                        bbox=box_xyxy_to_xywh(box),
+                        _bbox_xyxy=box,
                         area=int(mask.sum()),
                         predicted_iou=iou,
                         stability_score=stab,
@@ -133,10 +147,10 @@ def from_predictor(predictor, hand: str = "left",
     def decode_batch(points):
         masks_list, iou_list = [], []
         for p in points:  # predictor API is per-prompt; embedding cached
-            masks, ious, _ = predictor.predict(
+            logits, ious, _ = predictor.predict(
                 point_coords=p[None], point_labels=np.array([1]),
-                multimask_output=True, hand=hand)
-            masks_list.append(masks.astype(np.float32) * 2 - 1)
+                multimask_output=True, return_logits=True, hand=hand)
+            masks_list.append(np.asarray(logits, np.float32))
             iou_list.append(ious)
         return np.stack(masks_list), np.stack(iou_list)
 

@@ -27,21 +27,26 @@ class SamPredictor:
         self._encode = jax.jit(
             lambda p, img: self.model.apply(p, img, method="encode_image"))
 
-        def _decode(p, emb, points, labels, boxes, masks):
+        def _decode(p, emb, points, labels, boxes, masks, multimask):
             def fn(m):
                 sparse, dense = m.prompt_encoder(
                     points=(points, labels) if points is not None else None,
                     boxes=boxes, masks=masks)
                 image_pe = m.prompt_encoder.get_dense_pe()[None]
+                # multimask_output selects the decoder's token set:
+                # False = the dedicated single-mask token 0 (reference
+                # predictor.py passes the flag through to the decoder).
                 out_l = m.mask_decoder_left(
-                    emb, image_pe, sparse, dense, multimask_output=True)
+                    emb, image_pe, sparse, dense,
+                    multimask_output=multimask)
                 out_r = m.mask_decoder_right(
-                    emb, image_pe, sparse, dense, multimask_output=True)
+                    emb, image_pe, sparse, dense,
+                    multimask_output=multimask)
                 return out_l, out_r
 
             return self.model.apply(p, method=fn)
 
-        self._decode = jax.jit(_decode)
+        self._decode = jax.jit(_decode, static_argnums=6)
 
     def set_image(self, image: np.ndarray) -> None:
         """image: (H, W, 3) uint8 RGB."""
@@ -68,9 +73,12 @@ class SamPredictor:
                 point_labels: Optional[np.ndarray] = None,
                 box: Optional[np.ndarray] = None,
                 multimask_output: bool = True,
+                return_logits: bool = False,
                 hand: str = "left"
                 ) -> Tuple[np.ndarray, np.ndarray, Optional[np.ndarray]]:
-        """Returns (masks (n, H, W) binary at original resolution,
+        """Returns (masks (n, H, W) at original resolution — binary, or
+        raw logits with return_logits (reference predictor.py's
+        return_logits flag, required by the AMG's stability score),
         iou_predictions (n,), taxonomy (4,) or None)."""
         import jax.numpy as jnp
 
@@ -88,7 +96,8 @@ class SamPredictor:
                 self._transform_coords(np.asarray(box).reshape(2, 2))
                 .reshape(1, 4))
         out_l, out_r = self._decode(self.params, self._embedding, points,
-                                    labels, boxes, None)
+                                    labels, boxes, None,
+                                    bool(multimask_output))
         if hand == "left":
             masks, iou, taxonomy = out_l
         else:
@@ -97,7 +106,7 @@ class SamPredictor:
             jnp.asarray(masks, jnp.float32), self.image_size)[0]
         orig = resize_to_original(np.asarray(canvas), self._input_hw,
                                   self._orig_hw)
-        sel = slice(None) if multimask_output else slice(0, 1)
-        return ((orig > 0)[sel],
-                np.asarray(iou)[0][sel],
+        out_masks = orig if return_logits else (orig > 0)
+        return (out_masks,
+                np.asarray(iou)[0],
                 None if taxonomy is None else np.asarray(taxonomy)[0])

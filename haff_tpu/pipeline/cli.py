@@ -76,6 +76,20 @@ def main(argv=None):
                           dilate_factor=args.dilate,
                           shard_name=args.shard_name,
                           shard_size=args.shard_size)
+
+    def _packed_count(shard_paths):
+        # ranges are inclusive 'start-end_*' (reference rename_dataset);
+        # continue the flipped shards after the last used index
+        import re as _re
+
+        end = -1
+        for h5p, _ in shard_paths:
+            m = _re.match(r"(\d+)-(\d+)_", __import__("os").path
+                          .basename(h5p))
+            if m:
+                end = max(end, int(m.group(2)))
+        return end + 1
+
     if args.flip_augment:
         # Mirror frames and SWAP hand masks (reference horizontal_flip.py).
         # The 3-dim taxonomy [unimanual, sym, asym] is flip-invariant: the
@@ -88,7 +102,8 @@ def main(argv=None):
             flipped, fl, fr, fo, narrs, tax3, args.out_dir,
             dilate_factor=args.dilate,
             shard_name="flipped_" + args.shard_name,
-            shard_size=args.shard_size)
+            shard_size=args.shard_size,
+            start_index=_packed_count(shards))
     print(f"wrote {len(shards)} shard pair(s) to {args.out_dir}")
 
 

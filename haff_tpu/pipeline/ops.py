@@ -27,8 +27,12 @@ def dilate_masks(masks: jnp.ndarray, factor: int = 10) -> jnp.ndarray:
     affordance_extraction_preparation.py dilate_masks). masks: (B, H, W)
     in {0, 1}. Implemented as a max-pool via reduce_window — the natural
     XLA form of dilation."""
-    pad_lo = (factor - 1) // 2
-    pad_hi = factor - 1 - pad_lo
+    # cv2's even-kernel anchor sits at factor//2: a pixel dilates
+    # factor//2 BEFORE and factor-1-factor//2 AFTER it (verified against
+    # cv2.dilate); reduce_window covers [i-pad_lo, i+pad_hi], so pad_lo
+    # must be the AFTER count to reproduce cv2's asymmetry.
+    pad_lo = factor - 1 - factor // 2
+    pad_hi = factor // 2
     return jax.lax.reduce_window(
         masks, 0.0, jax.lax.max, (1, factor, factor), (1, 1, 1),
         [(0, 0), (pad_lo, pad_hi), (pad_lo, pad_hi)])
@@ -122,10 +126,10 @@ def mask_area_ok(mask: np.ndarray, min_area: int = 20,
     return min_area < area < max_area
 
 
-# Verb classes excluded from the affordance dataset (reference
-# data_setup/filter_dataset.py:40-117 non-affordance actions).
+# Verb classes excluded from the affordance dataset (the reference's
+# invalid_verb_classes list, data_setup/filter_dataset.py:58).
 EXCLUDED_VERBS = frozenset(
-    "eat look search watch wait walk check think read drink".split())
+    "eat look search feel transition wait smell finish unfreeze".split())
 
 
 def narration_ok(narration: str, verb: Optional[str] = None) -> bool:

@@ -47,7 +47,10 @@ def mask_to_contours(mask: np.ndarray) -> List:
     contours, _ = cv2.findContours(
         (np.asarray(mask) > 0).astype(np.uint8), cv2.RETR_EXTERNAL,
         cv2.CHAIN_APPROX_SIMPLE)
-    return [c.tolist() for c in contours]
+    # Flattened (N, 2) point lists — the reference json stores
+    # contour[:, 0, :].tolist() (compress_masks_to_json.py:60-92), not
+    # cv2's nested (N, 1, 2) shape.
+    return [c[:, 0, :].tolist() for c in contours]
 
 
 def expand_taxonomy(tax3: Sequence[float], has_left: bool,
@@ -56,8 +59,11 @@ def expand_taxonomy(tax3: Sequence[float], has_left: bool,
     [left, right, bi-sym, bi-asym] by splitting unimanual on which hand's
     files exist (reference data_setup/update_taxonomy.py:24-39)."""
     uni, sym, asym = [float(x) for x in tax3]
-    left = uni if has_left and not has_right else 0.0
-    right = uni if has_right and not has_left else 0.0
+    # Reference order (update_taxonomy.py:24-39): default the unimanual
+    # weight to RIGHT ([0]+tax3 keeps it at index 1); move it to left
+    # only when the right-hand files are absent.
+    left = uni if not has_right else 0.0
+    right = uni if has_right else 0.0
     return [left, right, sym, asym]
 
 
@@ -86,13 +92,21 @@ def filter_record(rec: FrameRecord, min_area: int = 20,
     bearing, at least one hand mask with in-range area."""
     if not ops.narration_ok(rec.narration, rec.verb or None):
         return False
-    any_ok = False
-    for m in (rec.aff_left, rec.aff_right):
-        if m is not None and np.count_nonzero(m):
-            if not ops.mask_area_ok(m, min_area, max_area):
-                return False
-            any_ok = True
-    return any_ok
+
+    def ok(m):
+        return (m is not None and np.count_nonzero(m)
+                and ops.mask_area_ok(m, min_area, max_area))
+
+    tax = [float(x) for x in rec.taxonomy]
+    if tax[2] + tax[3] > 0:
+        # bimanual: BOTH hands' masks must be present and in range
+        # (reference filter_dataset.py is_valid, taxonomy[0]==0 branch)
+        return bool(ok(rec.aff_left) and ok(rec.aff_right))
+    if tax[0] > 0:
+        return bool(ok(rec.aff_left))
+    if tax[1] > 0:
+        return bool(ok(rec.aff_right))
+    return False
 
 
 def pack_shard(records: Sequence[FrameRecord], out_dir: str,
@@ -189,7 +203,8 @@ def run_pipeline(frames: np.ndarray, hand_masks_left: np.ndarray,
                  narrations: Sequence[str], taxonomies3: np.ndarray,
                  out_dir: str, stages: PipelineStages = PipelineStages(),
                  dilate_factor: int = 10, shard_name: str = "P00",
-                 shard_size: int = 512) -> List[Tuple[str, str]]:
+                 shard_size: int = 512,
+                 start_index: int = 0) -> List[Tuple[str, str]]:
     """End-to-end pipeline.bash analog over in-memory frame arrays.
 
     frames: (N, H, W, 3) uint8; hand/object masks: (N, H, W) binary;
@@ -199,21 +214,27 @@ def run_pipeline(frames: np.ndarray, hand_masks_left: np.ndarray,
     if stages.inpaint_hands is not None:
         frames = np.asarray(stages.inpaint_hands(frames))
 
-    hands = ops.recolor_white(
-        ops.dilate_masks(jnp.asarray(
-            (hand_masks_left | hand_masks_right).astype(np.float32)),
-            dilate_factor))
+    # Reference flow (pipeline.bash stages 3, 6): per-hand DILATED masks
+    # AND the completed object, then the resulting affordance is dilated
+    # AGAIN by process_affordances before packing.
+    dil_left = ops.recolor_white(ops.dilate_masks(
+        jnp.asarray(hand_masks_left.astype(np.float32)), dilate_factor))
+    dil_right = ops.recolor_white(ops.dilate_masks(
+        jnp.asarray(hand_masks_right.astype(np.float32)), dilate_factor))
     objs = jnp.asarray(object_masks.astype(np.float32))
     if stages.complete_masks is not None:
         objs = jnp.asarray(
             stages.complete_masks(frames, np.asarray(objs)).astype(
                 np.float32))
-    aff = np.asarray(ops.extract_affordance(hands, objs))
+    aff_l = np.asarray(ops.recolor_white(ops.dilate_masks(
+        ops.extract_affordance(dil_left, objs), dilate_factor)))
+    aff_r = np.asarray(ops.recolor_white(ops.dilate_masks(
+        ops.extract_affordance(dil_right, objs), dilate_factor)))
 
     records: List[FrameRecord] = []
     for i in range(frames.shape[0]):
-        left = (aff[i] * (hand_masks_left[i] > 0)).astype(np.uint8)
-        right = (aff[i] * (hand_masks_right[i] > 0)).astype(np.uint8)
+        left = aff_l[i].astype(np.uint8)
+        right = aff_r[i].astype(np.uint8)
         tax4 = expand_taxonomy(taxonomies3[i],
                                has_left=bool(left.any()),
                                has_right=bool(right.any()))
@@ -230,6 +251,7 @@ def run_pipeline(frames: np.ndarray, hand_masks_left: np.ndarray,
     shards = []
     for s in range(0, len(records), shard_size):
         chunk = records[s:s + shard_size]
-        shards.append(pack_shard(chunk, out_dir, start_index=s,
+        shards.append(pack_shard(chunk, out_dir,
+                                 start_index=start_index + s,
                                  shard_name=shard_name))
     return shards
