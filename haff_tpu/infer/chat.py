@@ -76,10 +76,12 @@ def main(argv=None):
         elif t == 1:
             bl[:] = 0
         stem = os.path.splitext(os.path.basename(image_path))[0]
+        # reference chat.py:236-252: '{stem}_mask_left{i}.jpg' at
+        # intensity 100 per [SEG]; this path emits one [SEG] -> index 0
         cv2.imwrite(os.path.join(args.vis_save_path,
-                                 f"{stem}_mask_left.png"), bl * 255)
+                                 f"{stem}_mask_left0.jpg"), bl * 100)
         cv2.imwrite(os.path.join(args.vis_save_path,
-                                 f"{stem}_mask_right.png"), br * 255)
+                                 f"{stem}_mask_right0.jpg"), br * 100)
         overlay = overlay_results(image, bl, br)
         cv2.imwrite(os.path.join(args.vis_save_path,
                                  f"{stem}_masked_img.png"),

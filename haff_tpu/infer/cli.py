@@ -38,16 +38,18 @@ def write_threshold_masks(vis_base: str, vid: str, frame: str,
     probs_r = 1.0 / (1.0 + np.exp(-logits_right))
     tax = int(np.argmax(taxonomy))
     for th in thresholds:
-        ml = (probs_l > th).astype(np.uint8) * 255
-        mr = (probs_r > th).astype(np.uint8) * 255
-        if tax == 0:      # left-hand only
-            mr[:] = 0
-        elif tax == 1:    # right-hand only
-            ml[:] = 0
         out_dir = os.path.join(f"{vis_base}{th}", vid, frame)
         os.makedirs(out_dir, exist_ok=True)
-        cv2.imwrite(os.path.join(out_dir, "aff_left.png"), ml)
-        cv2.imwrite(os.path.join(out_dir, "aff_right.png"), mr)
+        # The gated-off side's file is NOT written (reference
+        # inference.py:278/313: left only when argmax != 1, right only
+        # when argmax != 0) — downstream consumers distinguish a missing
+        # prediction from an empty mask.
+        if tax != 1:
+            ml = (probs_l > th).astype(np.uint8) * 255
+            cv2.imwrite(os.path.join(out_dir, "aff_left.png"), ml)
+        if tax != 0:
+            mr = (probs_r > th).astype(np.uint8) * 255
+            cv2.imwrite(os.path.join(out_dir, "aff_right.png"), mr)
 
 
 def main(argv=None):

@@ -23,7 +23,8 @@ class Predictor:
                  load_in_8bit: bool = False, load_in_4bit: bool = False,
                  kv_cache_8bit: bool = False,
                  conv_type: str = "llava_v1",
-                 use_mm_start_end: bool = True):
+                 use_mm_start_end: bool = True,
+                 use_template: bool = True):
         import jax
         import jax.numpy as jnp
 
@@ -40,6 +41,7 @@ class Predictor:
         self.max_text_len = max_text_len
         self.conv_type = conv_type
         self.use_mm_start_end = use_mm_start_end
+        self.use_template = use_template
         dtype = jnp.bfloat16 if precision == "bf16" else jnp.float32
         self.model = LisaModel(cfg=self.cfg, dtype=dtype)
 
@@ -53,7 +55,8 @@ class Predictor:
             self.tok, sam_image_size=self.cfg.sam_encoder.image_size,
             clip_image_size=self.cfg.clip.image_size,
             max_text_len=max_text_len, conv_type=conv_type,
-            use_mm_start_end=use_mm_start_end, for_training=False)
+            use_mm_start_end=use_mm_start_end,
+            use_template=use_template, for_training=False)
         tb0 = TrainBatch(**{k: jnp.asarray(v) for k, v in b0.items()
                             if k != "resizes"})
         self.params = jax.jit(self.model.init)(jax.random.PRNGKey(0), tb0)
@@ -86,7 +89,8 @@ class Predictor:
             self.tok, sam_image_size=self.cfg.sam_encoder.image_size,
             clip_image_size=self.cfg.clip.image_size,
             max_text_len=self.max_text_len, conv_type=self.conv_type,
-            use_mm_start_end=self.use_mm_start_end, for_training=False)
+            use_mm_start_end=self.use_mm_start_end,
+            use_template=self.use_template, for_training=False)
         res = self._eval(self.params,
                          jnp.asarray(batch["images_sam"]),
                          jnp.asarray(batch["images_clip"]),

@@ -40,8 +40,11 @@ class StreamingPipeline:
 
         self.chunk = chunk
         cfg = model.cfg
-        q = INFERENCE_QUESTION.format(class_name=narration.lower())
-        ids, _ = tokenize_conversation(q, None, tokenizer)
+        # Same prompt convention as the batch CLI / reference
+        # inference.py: bare tokenization, narration casing kept.
+        q = INFERENCE_QUESTION.format(class_name=narration)
+        ids, _ = tokenize_conversation(q, None, tokenizer,
+                                       use_template=False)
         ids = ids[:max_text_len]
         input_ids = np.zeros((chunk, max_text_len), np.int32)
         attn = np.zeros((chunk, max_text_len), np.int32)

@@ -48,7 +48,15 @@ def strip_vision_tower(params: Dict) -> Dict:
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--checkpoint", required=True,
-                   help="orbax train-state checkpoint dir")
+                   help="orbax train-state checkpoint dir (holds the "
+                        "TRAINABLE partition: LoRA adapters, heads, "
+                        "mask decoders)")
+    p.add_argument("--base_params", default=None,
+                   help="full params dir from tools/convert_cli (the "
+                        "frozen base the adapters trained against); "
+                        "required for train-state checkpoints - the "
+                        "trainable partition alone has no base kernels "
+                        "to fold into")
     p.add_argument("--out", required=True)
     p.add_argument("--lora_alpha", type=float, default=16.0)
     p.add_argument("--keep_vision_tower", action="store_true")
@@ -60,9 +68,35 @@ def main(argv=None):
 
     mgr = ocp.CheckpointManager(args.checkpoint)
     step = mgr.latest_step()
-    state = mgr.restore(step)
-    mgr.close()
+    if step is not None:
+        state = mgr.restore(step)
+        mgr.close()
+    else:
+        # a bare full-params dir (convert_cli layout) also works
+        mgr.close()
+        ckptr0 = ocp.StandardCheckpointer()
+        state = ckptr0.restore(args.checkpoint)
+        ckptr0.close()
     params = state["trainable"] if "trainable" in state else state
+    if args.base_params:
+        # Reference flow (merge_lora_weights_and_save_hf_model.py):
+        # rebuild the FULL model then overlay the trained state. Here:
+        # trainable tree overlaid onto the converted base params.
+        ckptr0 = ocp.StandardCheckpointer()
+        base = ckptr0.restore(args.base_params)
+        ckptr0.close()
+        flat = dict(traverse_util.flatten_dict(base))
+        flat.update(traverse_util.flatten_dict(params))
+        params = traverse_util.unflatten_dict(flat)
+    else:
+        flat = traverse_util.flatten_dict(params)
+        has_base = any(k[-2:] == ("base", "kernel") for k in flat)
+        has_lora = any(k[-1] == "lora_a" for k in flat)
+        if has_lora and not has_base:
+            raise SystemExit(
+                "--checkpoint holds only the trainable partition "
+                "(adapters without base kernels); pass --base_params "
+                "with the converted full-model params")
     params = merge_lora_params(params, alpha=args.lora_alpha)
     if not args.keep_vision_tower:
         params = strip_vision_tower(params)

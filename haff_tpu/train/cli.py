@@ -76,7 +76,7 @@ def parse_args(argv=None):
     p.add_argument("--steps_per_epoch", type=int, default=500)
     p.add_argument("--batch_size", type=int, default=2)
     p.add_argument("--grad_accum", type=int, default=10)
-    p.add_argument("--lr", type=float, default=3e-4)
+    p.add_argument("--lr", type=float, default=1e-3)  # train_ds.py:92
     p.add_argument("--beta1", type=float, default=0.9)
     p.add_argument("--beta2", type=float, default=0.95)
     p.add_argument("--warmup_steps", type=int, default=100)
@@ -426,9 +426,12 @@ def main(argv=None):
                                       if k != "resizes"})
                 batch = shard_batch_tree(mesh, batch)
                 state, metrics = step_fn(state, frozen, batch, rng)
+                # Reference meter semantics (train_ds.py:556-620): every
+                # micro-step updates the meters; each print_freq window
+                # logs the windowed AVERAGE and resets.
+                for k, m in meters.items():
+                    m.update(float(metrics[k]))
                 if (i + 1) % args.print_freq == 0:
-                    for k, m in meters.items():
-                        m.update(float(metrics[k]))
                     time_meter.update((time.time() - t0)
                                       / args.print_freq)
                     t0 = time.time()
@@ -436,8 +439,10 @@ def main(argv=None):
                         micro_per_epoch,
                         list(meters.values()) + [time_meter],
                         prefix=f"Epoch {epoch} ").display(i + 1)
-                    logger.log({k: m.val for k, m in meters.items()},
+                    logger.log({k: m.avg for k, m in meters.items()},
                                int(state.step))
+                    for m in meters.values():
+                        m.reset()
 
             # --- validation (reference validate(), train_ds.py:625-758) ---
             if val_ds is not None and len(val_ds) and not args.no_eval:

