@@ -284,3 +284,64 @@ def test_export_model_from_converted_checkpoint(tmp_path):
     for a, b in zip(got, ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_merge_lora_cli_with_base_params(tmp_path):
+    """End-to-end merge flow on a REAL train checkpoint: trainable
+    partition + --base_params converted dir -> full merged tree
+    (regression: merging the trainable partition alone KeyError'd on
+    the missing base kernels)."""
+    import dataclasses
+    import sys
+
+    import flax.linen as nn
+    import jax
+    import jax.numpy as jnp
+    from flax import traverse_util
+
+    sys.path.insert(0, "tests")
+    from test_lisa_model import make_tiny_batch
+
+    from haff_tpu.core.config import ModelConfig, TrainConfig
+    from haff_tpu.model.lisa import LisaModel
+    from haff_tpu.tools.convert_cli import main as convert_main
+    from haff_tpu.tools.merge_lora import main as merge_main
+    from haff_tpu.train.checkpoints import save_checkpoint
+    from haff_tpu.train.trainer import init_train_state, partition_params
+
+    base_dir = str(tmp_path / "base")
+    convert_main(["--preset", "tiny", "--out", base_dir])
+
+    cfg0 = ModelConfig.preset("tiny")
+    cfg = dataclasses.replace(
+        cfg0, llama=dataclasses.replace(cfg0.llama, lora_rank=2))
+    model = LisaModel(cfg=cfg)
+    params = nn.unbox(jax.jit(model.init)(
+        jax.random.PRNGKey(0), make_tiny_batch(cfg))["params"])
+    trainable, _ = partition_params(params)
+    state = init_train_state(TrainConfig(model=cfg, lr=1e-3),
+                             trainable)
+    ckpt = str(tmp_path / "ckpt")
+    save_checkpoint(ckpt, 7, state)
+
+    out = str(tmp_path / "merged")
+    merge_main(["--checkpoint", ckpt, "--base_params", base_dir,
+                "--out", out])
+    import orbax.checkpoint as ocp
+
+    ck = ocp.StandardCheckpointer()
+    merged = ck.restore(out)
+    ck.close()
+    flat = traverse_util.flatten_dict(merged)
+    # full model present (frozen base restored), adapters folded away
+    assert any("image_encoder" in k for k in flat)
+    assert any(k[-2:] == ("base", "kernel") for k in flat)
+    assert not any(k[-1] in ("lora_a", "lora_b") for k in flat)
+    assert not any(k[0] == "vision_tower" for k in flat)
+
+    # trainable-only checkpoint without base params must error clearly
+    import pytest
+
+    with pytest.raises(SystemExit):
+        merge_main(["--checkpoint", ckpt, "--out",
+                    str(tmp_path / "nope")])
