@@ -9,7 +9,46 @@ from __future__ import annotations
 from typing import Callable, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
+
+
+class QDense(nn.Module):
+    """Drop-in nn.Dense whose kernel may be int8-quantized in the params
+    tree (quant.quantize_dense_tree adds a sibling 'scale' leaf). With a
+    float kernel this is bit-identical to nn.Dense (same param names, so
+    checkpoints/converters are unaffected); with an int8 kernel + scale
+    it runs the W8A8 int8-MXU matmul (quant.int8_matmul) — 2x the bf16
+    MXU peak, int8 weights at rest in HBM."""
+
+    features: int
+    use_bias: bool = True
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", self.kernel_init,
+                            (x.shape[-1], self.features), self.param_dtype)
+        bias = (self.param("bias", self.bias_init, (self.features,),
+                           self.param_dtype) if self.use_bias else None)
+        if (kernel.dtype == jnp.int8
+                and self.has_variable("params", "scale")):
+            from .quant import int8_matmul
+
+            scale = self.get_variable("params", "scale")
+            y = int8_matmul(x.astype(self.dtype), kernel, scale,
+                            dtype=self.dtype)
+        else:
+            xc = x.astype(self.dtype)
+            y = jax.lax.dot_general(
+                xc, kernel.astype(self.dtype),
+                (((xc.ndim - 1,), (0,)), ((), ())))
+        if bias is not None:
+            y = y + bias.astype(self.dtype)
+        return y
 
 
 class ChannelLayerNorm(nn.Module):
@@ -43,11 +82,11 @@ class MLPBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         dim = x.shape[-1]
-        x = nn.Dense(self.mlp_dim, dtype=self.dtype, param_dtype=self.param_dtype,
-                     name="lin1")(x)
+        x = QDense(self.mlp_dim, dtype=self.dtype, param_dtype=self.param_dtype,
+                   name="lin1")(x)
         x = self.act(x)
-        x = nn.Dense(dim, dtype=self.dtype, param_dtype=self.param_dtype,
-                     name="lin2")(x)
+        x = QDense(dim, dtype=self.dtype, param_dtype=self.param_dtype,
+                   name="lin2")(x)
         return x
 
 

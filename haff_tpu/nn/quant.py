@@ -62,6 +62,25 @@ def quantized_matmul(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray
     return (y * scale).astype(x.dtype)
 
 
+def int8_matmul(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray,
+                dtype=None) -> jnp.ndarray:
+    """W8A8 matmul on the int8 MXU path (2x the bf16 peak on v5e):
+    dynamic per-token symmetric activation quantization, int8 x int8 ->
+    int32 dot, then rescale by (act_scale * weight_scale).
+
+    x: (..., in) float; q: (in, out) int8 kernel; scale: (out,) f32
+    per-output-channel weight scales (from quantize_kernel)."""
+    dtype = dtype or x.dtype
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    s_x = jnp.where(amax == 0, 1.0, amax / 127.0)
+    xq = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
+    y = jax.lax.dot_general(
+        xq, q, (((xq.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return (y.astype(jnp.float32) * (s_x * scale)).astype(dtype)
+
+
 def _unboxed(v):
     """Param leaves may be flax AxisMetadata boxes (LogicallyPartitioned
     sharding annotations); read through them."""
@@ -156,6 +175,35 @@ def dequantize_tree(params: Dict, scales: Dict,
         else:
             flat[k] = _rebox(v, dequantize_kernel(_unboxed(v), s, dtype))
     return traverse_util.unflatten_dict(flat)
+
+
+def quantize_dense_tree(params: Dict,
+                        should_quantize: Callable[[Tuple[str, ...]], bool]
+                        ) -> Dict:
+    """Replace selected 2D Dense kernels with int8 values plus an
+    IN-TREE sibling 'scale' leaf. Consumed by layers.QDense, which
+    detects the int8 kernel + scale at apply time and switches to the
+    W8A8 int8-MXU path (int8_matmul). Unlike quantize_tree, no external
+    scale dict is needed — the quantized tree is a drop-in params tree."""
+    flat = dict(traverse_util.flatten_dict(params))
+    for k, v in list(flat.items()):
+        arr = _unboxed(v)
+        if (k[-1] == "kernel" and getattr(arr, "ndim", 0) == 2
+                and should_quantize(k)):
+            q, s = quantize_kernel(arr)
+            flat[k] = _rebox(v, q)
+            flat[k[:-1] + ("scale",)] = s
+    return traverse_util.unflatten_dict(flat)
+
+
+def sam_encoder_predicate(path: Tuple[str, ...]) -> bool:
+    """int8-quantize the SAM ViT encoder's transformer matmuls (qkv,
+    proj, MLP) — ~95% of mask-path FLOPs. The patch embed, neck convs
+    and everything outside the blocks stay bf16 (they are cheap and the
+    neck is fp32 for overflow parity, sam_image_encoder.py:209)."""
+    if not any(str(p).startswith("blocks_") for p in path):
+        return False
+    return len(path) >= 2 and path[-2] in ("qkv", "proj", "lin1", "lin2")
 
 
 def default_llm_predicate(path: Tuple[str, ...]) -> bool:

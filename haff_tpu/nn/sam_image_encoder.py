@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import SamEncoderConfig
-from .layers import ChannelLayerNorm, MLPBlock
+from .layers import ChannelLayerNorm, MLPBlock, QDense
 
 
 def get_rel_pos(q_size: int, k_size: int, rel_pos: jnp.ndarray) -> jnp.ndarray:
@@ -108,8 +108,8 @@ class SamAttention(nn.Module):
         b, h, w, c = x.shape
         head_dim = c // self.num_heads
         scale = head_dim ** -0.5
-        qkv = nn.Dense(3 * c, use_bias=True, dtype=self.dtype,
-                       param_dtype=self.param_dtype, name="qkv")(x)
+        qkv = QDense(3 * c, use_bias=True, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="qkv")(x)
         qkv = qkv.reshape(b, h * w, 3, self.num_heads, head_dim)
         q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, L, nh, hd)
 
@@ -142,8 +142,8 @@ class SamAttention(nn.Module):
             probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
             out = jnp.einsum("bnlm,bmnd->blnd", probs.astype(self.dtype), v)
         out = out.reshape(b, h, w, c)
-        return nn.Dense(c, dtype=self.dtype, param_dtype=self.param_dtype,
-                        name="proj")(out)
+        return QDense(c, dtype=self.dtype, param_dtype=self.param_dtype,
+                      name="proj")(out)
 
 
 class SamBlock(nn.Module):

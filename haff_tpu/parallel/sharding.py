@@ -64,14 +64,27 @@ def shard_batch_tree(mesh: Mesh, batch) -> Any:
     """Shard every array in a batch pytree along its leading (batch)
     axis over (data, fsdp); arrays whose leading dim does not divide the
     batch shards (e.g. a unique-image table smaller than the
-    conversation batch) are replicated."""
+    conversation batch) are replicated.
+
+    Replication is only a legitimate fallback for arrays SMALLER than
+    the shard count (the unique-image table case). A leading dim >=
+    n_shards that does not divide evenly means a mis-sized batch — a
+    silent fully-replicated "sharded" run — so that is an error.
+    """
     n_shards = mesh.shape[DATA_AXIS] * mesh.shape[FSDP_AXIS]
     bs = batch_sharding(mesh)
     rep = replicated(mesh)
 
     def place(x):
-        if getattr(x, "ndim", 0) >= 1 and x.shape[0] % n_shards == 0:
+        ndim = getattr(x, "ndim", 0)
+        if ndim >= 1 and x.shape[0] % n_shards == 0:
             return jax.device_put(x, bs)
+        if ndim >= 1 and x.shape[0] >= n_shards:
+            raise ValueError(
+                f"batch leading dim {x.shape[0]} does not divide "
+                f"{n_shards} batch shards (mesh data*fsdp); pad the "
+                f"batch or adjust the mesh instead of silently "
+                f"replicating")
         return jax.device_put(x, rep)
 
     return jax.tree_util.tree_map(place, batch)

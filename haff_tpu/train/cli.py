@@ -35,7 +35,9 @@ def parse_args(argv=None):
     p.add_argument("--tokenizer", default=None)
     p.add_argument("--precision", default="bf16", choices=["bf16", "fp32"])
     p.add_argument("--image_size", type=int, default=1024)
-    p.add_argument("--model_max_length", type=int, default=320)
+    # Reference default (train_ds.py:52). Long 2HANDS narrations +
+    # template + 255 image-token slots truncate identically this way.
+    p.add_argument("--model_max_length", type=int, default=575)
     # lora
     p.add_argument("--lora_r", type=int, default=8)
     p.add_argument("--lora_alpha", type=float, default=16)

@@ -187,3 +187,78 @@ def test_int4_tree_and_jitted_evaluate():
     res = ev(qparams, batch.images_sam, batch.images_clip,
              batch.input_ids[:2], batch.attention_mask[:2])
     assert np.isfinite(np.asarray(res.pred_masks_left)).all()
+
+
+def test_int8_matmul_close():
+    from haff_tpu.nn.quant import int8_matmul
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(4, 10, 64).astype(np.float32))
+    w = jnp.asarray(rng.randn(64, 32).astype(np.float32))
+    q, s = quantize_kernel(w)
+    ref = np.asarray(jnp.einsum("bld,do->blo", x, w))
+    out = np.asarray(int8_matmul(x, q, s, dtype=jnp.float32))
+    rel = np.abs(out - ref) / (np.abs(ref) + 1.0)
+    # W8A8: both operands quantized; error ~2x the weight-only case
+    assert np.median(rel) < 0.04, np.median(rel)
+    assert rel.max() < 0.25, rel.max()
+    # zero rows must not produce NaNs (amax==0 guard)
+    z = np.asarray(int8_matmul(jnp.zeros((2, 64)), q, s, dtype=jnp.float32))
+    assert (z == 0).all()
+
+
+def test_qdense_float_path_matches_nn_dense():
+    """QDense with a float kernel must be bit-identical to nn.Dense
+    (same init RNG stream, same promote/dot/bias math) so every
+    existing checkpoint, converter and parity test is unaffected."""
+    import flax.linen as nn
+
+    from haff_tpu.nn.layers import QDense
+
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(3, 7, 24).astype(np.float32), jnp.bfloat16)
+    ref_m = nn.Dense(16, dtype=jnp.bfloat16, param_dtype=jnp.float32)
+    q_m = QDense(16, dtype=jnp.bfloat16, param_dtype=jnp.float32)
+    p_ref = ref_m.init(jax.random.PRNGKey(3), x)
+    p_q = q_m.init(jax.random.PRNGKey(3), x)
+    np.testing.assert_array_equal(
+        np.asarray(p_ref["params"]["kernel"]),
+        np.asarray(p_q["params"]["kernel"]))
+    np.testing.assert_array_equal(
+        np.asarray(ref_m.apply(p_ref, x), np.float32),
+        np.asarray(q_m.apply(p_q, x), np.float32))
+
+
+def test_sam_encoder_int8_close():
+    """quantize_dense_tree + QDense: the int8 SAM encoder tracks the
+    float encoder closely (this is the accuracy gate for the int8
+    mask-path bench; reference skips visual_model for bnb, but the TPU
+    int8 MXU makes encoder quantization the single largest mask-path
+    lever — gated here instead)."""
+    from haff_tpu.core.config import ModelConfig
+    from haff_tpu.nn.quant import quantize_dense_tree, sam_encoder_predicate
+    from haff_tpu.nn.sam_image_encoder import SamImageEncoder
+
+    cfg = ModelConfig.preset("tiny").sam_encoder
+    model = SamImageEncoder(cfg=cfg)
+    rng = np.random.RandomState(13)
+    x = jnp.asarray(rng.randn(1, cfg.image_size, cfg.image_size, 3)
+                    .astype(np.float32))
+    params = model.init(jax.random.PRNGKey(0), x)["params"]
+    ref = np.asarray(model.apply({"params": params}, x))
+
+    qparams = quantize_dense_tree(params, sam_encoder_predicate)
+    import flax.traverse_util as tu
+
+    flat = tu.flatten_dict(qparams)
+    qkeys = [k for k, v in flat.items() if v.dtype == jnp.int8]
+    assert qkeys, "tiny encoder must have quantized kernels"
+    assert all(k[:-1] + ("scale",) in flat for k in qkeys)
+    # patch embed + neck stay float
+    assert flat[("patch_embed", "kernel")].dtype != jnp.int8
+
+    out = np.asarray(model.apply({"params": qparams}, x))
+    assert np.isfinite(out).all()
+    err = np.abs(out - ref)
+    denom = np.abs(ref).mean() + 1e-6
+    assert err.mean() / denom < 0.1, err.mean() / denom
