@@ -28,7 +28,7 @@ import numpy as np
 A100_BASELINE_FPS = 10.0
 
 
-def build(batch: int):
+def build(batch: int, int8: bool = False):
     from haff_tpu.core.config import ModelConfig
     from haff_tpu.model.lisa import LisaModel  # noqa: F401  (import check)
     from haff_tpu.nn.sam import Sam, postprocess_masks_padded
@@ -43,6 +43,22 @@ def build(batch: int):
         rng.randn(batch, 1, cfg.sam_decoder.prompt_embed_dim)
         .astype(np.float32))
     params = jax.jit(model.init)(jax.random.PRNGKey(0), images, text)
+    if int8:
+        # W8A8 encoder transformer matmuls on the int8 MXU (2x bf16
+        # peak); accuracy-gated by tests/test_quant.py (encoder delta)
+        # and the AMG/predictor IoU tests. Analog of the reference's
+        # bnb 8-bit serving (inference.py:133-156), applied to the
+        # encoder where the TPU mask-path FLOPs actually are.
+        from haff_tpu.nn.quant import (quantize_dense_tree,
+                                       sam_encoder_predicate)
+
+        def q(p):
+            inner = dict(p["params"])
+            inner["image_encoder"] = quantize_dense_tree(
+                inner["image_encoder"], sam_encoder_predicate)
+            return {"params": inner}
+
+        params = jax.jit(q)(params)
 
     @jax.jit
     def mask_path(params, images, text):
@@ -62,8 +78,8 @@ def _sync(out):
     return float(np.asarray(out[2]).sum())
 
 
-def run(batch: int, iters: int = 10):
-    fn, params, images, text = build(batch)
+def run(batch: int, iters: int = 10, int8: bool = False):
+    fn, params, images, text = build(batch, int8=int8)
     _sync(fn(params, images, text))  # compile
     _sync(fn(params, images, text))  # warm
     t0 = time.perf_counter()
@@ -75,13 +91,14 @@ def run(batch: int, iters: int = 10):
 
 
 def main():
+    int8 = "--bf16" not in sys.argv  # int8 W8A8 encoder is the default
     fps = None
     for batch in (24, 16, 8, 4, 2, 1):  # 24 measured best (13.1 vs 12.8)
         # The remote compile helper fails intermittently (opaque HTTP 500);
         # retry each batch size once before shrinking.
         for attempt in range(2):
             try:
-                fps = run(batch)
+                fps = run(batch, int8=int8)
                 break
             except Exception as e:  # flaky compile / OOM -> retry, shrink
                 print(f"# batch {batch} attempt {attempt} failed: "

@@ -129,6 +129,87 @@ def overlay_results(image: np.ndarray, mask_left: Optional[np.ndarray],
     return out.astype(np.uint8)
 
 
+def join_prediction_folders(pred_dir: str, bench_dir: str,
+                            out_dir: str) -> int:
+    """Join a baseline method's per-frame prediction folders with the
+    benchmark's frame folders into one scoreable layout (reference
+    prepare_folders.py:1-67). Frame ids are matched leading-zero-
+    insensitively; the output keeps pred_dir's folder names. Copies
+    aff_left.png / aff_right.png from pred_dir and inpainted_frame.png /
+    annotation.json from bench_dir. Returns the number of joined
+    frames."""
+    import shutil
+
+    def key(name):
+        return name.lstrip("0") or "0"
+
+    bench = {key(n): n for n in os.listdir(bench_dir)
+             if os.path.isdir(os.path.join(bench_dir, n))}
+    n_joined = 0
+    for name in sorted(os.listdir(pred_dir)):
+        src = os.path.join(pred_dir, name)
+        if not os.path.isdir(src) or key(name) not in bench:
+            continue
+        bsrc = os.path.join(bench_dir, bench[key(name)])
+        dst = os.path.join(out_dir, name)
+        os.makedirs(dst, exist_ok=True)
+        for fname, root in (("aff_left.png", src), ("aff_right.png", src),
+                            ("inpainted_frame.png", bsrc),
+                            ("annotation.json", bsrc)):
+            fsrc = os.path.join(root, fname)
+            if os.path.exists(fsrc):
+                shutil.copy(fsrc, dst)
+            elif root == bsrc:
+                print(f"Warning: {fsrc} does not exist")
+        n_joined += 1
+    return n_joined
+
+
+def add_external_affordances(bench_dir: str, masks_dir: str,
+                             out_dir: str) -> int:
+    """Bring an external method's affordance masks into the benchmark
+    layout as aff_left.png / aff_right.png (reference add_affex.py:1-107).
+
+    Two input layouts are accepted, mirroring the reference:
+      1. masks_dir/{left,right}/<frame>.png   (flat per-hand folders)
+      2. masks_dir/<frame>/aff_{left,right}.png (mirrors bench_dir)
+    Only frames that exist in bench_dir are taken; existing outputs are
+    never overwritten. Returns the number of files copied."""
+    import shutil
+
+    copied = 0
+
+    def place(src, frame, hand):
+        nonlocal copied
+        if not os.path.isdir(os.path.join(bench_dir, frame)):
+            return
+        dst_dir = os.path.join(out_dir, frame)
+        os.makedirs(dst_dir, exist_ok=True)
+        dst = os.path.join(dst_dir, f"aff_{hand}.png")
+        if not os.path.exists(dst):
+            shutil.copy(src, dst)
+            copied += 1
+
+    left_dir = os.path.join(masks_dir, "left")
+    right_dir = os.path.join(masks_dir, "right")
+    if os.path.isdir(left_dir) and os.path.isdir(right_dir):
+        for hand, hdir in (("left", left_dir), ("right", right_dir)):
+            for fname in sorted(os.listdir(hdir)):
+                if fname.endswith(".png"):
+                    place(os.path.join(hdir, fname),
+                          fname.split(".")[0], hand)
+    else:
+        for frame in sorted(os.listdir(bench_dir)):
+            msub = os.path.join(masks_dir, frame)
+            if not os.path.isdir(msub):
+                continue
+            for hand in ("left", "right"):
+                src = os.path.join(msub, f"aff_{hand}.png")
+                if os.path.exists(src):
+                    place(src, frame, hand)
+    return copied
+
+
 def rename_frames_7digit(vid_dir: str) -> int:
     """Normalize frame folder names to 7-digit ids (reference
     configure_bench.py:9-28)."""

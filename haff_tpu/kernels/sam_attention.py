@@ -358,6 +358,176 @@ def _window_bwd_rule(hw, sm_scale, interpret, res, g):
 _window_fused.defvjp(_window_fwd_rule, _window_bwd_rule)
 
 
+def _natural_band_tables(q_nat, rel_h, rel_w, hw: Tuple[int, int],
+                         kp: int):
+    """Band tables in the qkv dense's NATURAL layout.
+
+    q_nat: (BW, L, nh, d) — no head transpose. Returns Bh/Bw as
+    (BW, L, nh*kp) with the key index padded 14 -> kp by zero columns
+    (zero-padded Rh/Rw columns are never selected by the in-kernel
+    one-hot expanders, so the padding is inert).
+
+    The einsum "bhwnc,hkc->bhwnk" keeps l-major output order — unlike
+    the head-major "bhwnc,hkc->bnhwk" of _band_tables, XLA needs no
+    relayout of the 300 MB q operand (measured 5.4 -> ~1 ms/layer at
+    batch 24)."""
+    H, W = hw
+    bw_, l, nh, d = q_nat.shape
+    Rh = get_rel_pos(H, H, rel_h)                     # (H, H, d)
+    Rw = get_rel_pos(W, W, rel_w)                     # (W, W, d)
+    Rh = jnp.pad(Rh, ((0, 0), (0, kp - H), (0, 0))).astype(q_nat.dtype)
+    Rw = jnp.pad(Rw, ((0, 0), (0, kp - W), (0, 0))).astype(q_nat.dtype)
+    r_q = q_nat.reshape(bw_, H, W, nh, d)
+    # l-major output order; bf16 operands with fp32 accumulation.
+    # (Measured on v5e at batch 24: this einsum pair ~4.5 ms/layer —
+    # per-row unrolled matmuls, merged-free-dim forms and tiled batched
+    # dots all measure the same or worse; the tiny kp=16 output width
+    # keeps the MXU at ~12% regardless of formulation.)
+    Bh = jnp.einsum("bhwnc,hkc->bhwnk", r_q, Rh,
+                    preferred_element_type=jnp.float32)
+    Bw = jnp.einsum("bhwnc,wkc->bhwnk", r_q, Rw,
+                    preferred_element_type=jnp.float32)
+    return (Bh.astype(q_nat.dtype).reshape(bw_, l, nh * kp),
+            Bw.astype(q_nat.dtype).reshape(bw_, l, nh * kp))
+
+
+def _window_qkv_kernel(q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref, *,
+                       nh, d, kp, hw, sm_scale):
+    """Natural-layout windowed attention: one grid step processes a
+    group of whole windows with ALL heads via an unrolled head loop on
+    lane slices. q/k/v refs are (G, L, nh*d) lane-blocks of the SAME
+    qkv dense output (BlockSpec lane-block aliasing — no HBM transpose,
+    slice, or per-head relayout ever happens). bh/bw are (G, L, nh*kp)
+    natural-layout band tables. The one-hot key expanders are built
+    in-kernel from iota (they are (L, kp) constants; as operands their
+    lane dim would break Mosaic's 128-alignment rule)."""
+    H, W = hw
+    g, l, _ = q_ref.shape
+    rows = jax.lax.broadcasted_iota(jnp.int32, (l, kp), 0)
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (l, kp), 1)
+    eh = (rows // W == ridx).astype(q_ref.dtype)      # (L, kp)
+    ew = (rows % W == ridx).astype(q_ref.dtype)
+    ehg = jnp.broadcast_to(eh[None], (g, l, kp))
+    ewg = jnp.broadcast_to(ew[None], (g, l, kp))
+    for h in range(nh):
+        qh = q_ref[:, :, h * d:(h + 1) * d]
+        kh = k_ref[:, :, h * d:(h + 1) * d]
+        vh = v_ref[:, :, h * d:(h + 1) * d]
+        bhh = bh_ref[:, :, h * kp:(h + 1) * kp]
+        bwh = bw_ref[:, :, h * kp:(h + 1) * kp]
+        qs = (qh.astype(jnp.float32) * sm_scale).astype(qh.dtype)
+        qa = jnp.concatenate([qs, bhh, bwh], axis=2)  # (G, L, d+2kp)
+        ka = jnp.concatenate([kh, ehg, ewg], axis=2)
+        s = jax.lax.dot_general(qa, ka, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(p.astype(vh.dtype), vh,
+                                (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        o_ref[:, :, h * d:(h + 1) * d] = o.astype(o_ref.dtype)
+
+
+def _window_qkv_fwd(qkv, rel_h, rel_w, hw, nh, sm_scale, interpret):
+    """qkv: (BW, L, 3*nh*d) natural dense output, feature order
+    [q | k | v] each head-major (nh, d). Returns (BW, L, nh*d)."""
+    wh, ww = hw
+    bw_, l, f = qkv.shape
+    c = f // 3
+    d = c // nh
+    # kp: key-index pad so the bh/bw lane dim (nh*kp) is 128-aligned.
+    kp = 16
+    while (nh * kp) % 128:
+        kp += 16
+    q_nat = qkv[:, :, :c].reshape(bw_, l, nh, d)
+    bh, bw = _natural_band_tables(q_nat, rel_h, rel_w, hw, kp)
+
+    group = 2 if jnp.dtype(qkv.dtype).itemsize <= 2 else 1
+    group = min(group, bw_)
+    while bw_ % group:
+        group -= 1
+
+    out = pl.pallas_call(
+        functools.partial(_window_qkv_kernel, nh=nh, d=d, kp=kp, hw=hw,
+                          sm_scale=sm_scale),
+        grid=(bw_ // group,),
+        in_specs=[
+            pl.BlockSpec((group, l, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((group, l, c), lambda i: (i, 0, 1)),
+            pl.BlockSpec((group, l, c), lambda i: (i, 0, 2)),
+            pl.BlockSpec((group, l, nh * kp), lambda i: (i, 0, 0)),
+            pl.BlockSpec((group, l, nh * kp), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((group, l, c), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bw_, l, c), qkv.dtype),
+        interpret=interpret,
+    )(qkv, qkv, qkv, bh, bw)
+    return out
+
+
+def _window_qkv_xla(qkv, rel_h, rel_w, hw, nh, sm_scale):
+    bw_, l, f = qkv.shape
+    c = f // 3
+    d = c // nh
+    qkv5 = qkv.reshape(bw_, l, 3, nh, d)
+    q, k, v = qkv5[:, :, 0], qkv5[:, :, 1], qkv5[:, :, 2]
+    out = _window_xla(q, k, v, rel_h, rel_w, hw, sm_scale)
+    return out.reshape(bw_, l, c)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def _window_qkv_fused(qkv, rel_h, rel_w, hw, nh, sm_scale, interpret):
+    return _window_qkv_fwd(qkv, rel_h, rel_w, hw, nh, sm_scale, interpret)
+
+
+def _window_qkv_fwd_rule(qkv, rel_h, rel_w, hw, nh, sm_scale, interpret):
+    out = _window_qkv_fwd(qkv, rel_h, rel_w, hw, nh, sm_scale, interpret)
+    return out, (qkv, rel_h, rel_w)
+
+
+def _window_qkv_bwd_rule(hw, nh, sm_scale, interpret, res, g):
+    """Backward via the XLA path's VJP (frozen-encoder recipe; exists
+    for correctness, not speed — matches _window_bwd_rule)."""
+    qkv, rel_h, rel_w = res
+    _, vjp = jax.vjp(
+        lambda a, rh, rw: _window_qkv_xla(a, rh, rw, hw, nh, sm_scale),
+        qkv, rel_h, rel_w)
+    return vjp(g)
+
+
+_window_qkv_fused.defvjp(_window_qkv_fwd_rule, _window_qkv_bwd_rule)
+
+
+def sam_window_attention_qkv(qkv, rel_h, rel_w, hw: Tuple[int, int],
+                             num_heads: int, sm_scale=None,
+                             force_xla: bool = False, interpret=None,
+                             train_rel_pos: bool = False):
+    """Windowed SAM attention consuming the qkv projection output in its
+    NATURAL layout (BW, L, 3*nh*d), L == hw[0]*hw[1]; returns
+    (BW, L, nh*d) ready for the output projection.
+
+    This is the zero-relayout path: the old sam_window_attention API
+    required (BW, L, nh, d) per-head operands, which cost a q/k/v slice
+    materialization + 3 head-major HBM transposes + a head-major band
+    table einsum + an output transpose — ~11 ms/layer of pure data
+    movement at batch 24 on v5e (measured; the kernel itself is ~7 ms).
+    Falls back to the XLA path when the head layout cannot be
+    lane-blocked (C not 128-aligned)."""
+    wh, ww = hw
+    c = qkv.shape[-1] // 3
+    d = c // num_heads
+    if sm_scale is None:
+        sm_scale = d ** -0.5
+    aligned = c % 128 == 0 and qkv.shape[1] == wh * ww
+    if force_xla or train_rel_pos or qkv.shape[0] == 0 or not aligned:
+        return _window_qkv_xla(qkv, rel_h, rel_w, hw, num_heads, sm_scale)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _window_qkv_fused(qkv, rel_h, rel_w, hw, num_heads, sm_scale,
+                             interpret)
+
+
 def sam_window_attention(q, k, v, rel_h, rel_w, hw: Tuple[int, int],
                          sm_scale=None, force_xla: bool = False,
                          interpret=None, train_rel_pos: bool = False):

@@ -110,8 +110,7 @@ class SamAttention(nn.Module):
         scale = head_dim ** -0.5
         qkv = QDense(3 * c, use_bias=True, dtype=self.dtype,
                      param_dtype=self.param_dtype, name="qkv")(x)
-        qkv = qkv.reshape(b, h * w, 3, self.num_heads, head_dim)
-        q, k, v = qkv[:, :, 0], qkv[:, :, 1], qkv[:, :, 2]  # (B, L, nh, hd)
+        qkv = qkv.reshape(b, h * w, 3 * c)
 
         if self.use_rel_pos:
             rel_pos_h = self.param(
@@ -122,21 +121,27 @@ class SamAttention(nn.Module):
                 (2 * self.input_hw[1] - 1, head_dim), self.param_dtype)
             # Fused Pallas paths (kernels/sam_attention.py): global grids
             # stream k-row blocks with the factorized bias; windowed
-            # grids run one window per grid step with heads batched
-            # through dot_general and the attention matrix kept in VMEM
-            # (5.9 vs 17.5 ms/block measured vs the XLA path).
+            # grids consume the qkv dense output in its natural layout
+            # (zero HBM relayouts) with heads as an unrolled in-kernel
+            # lane-slice loop.
             from ..kernels.sam_attention import (
                 sam_global_attention,
-                sam_window_attention,
+                sam_window_attention_qkv,
             )
 
             if h % 8 == 0 and w % 8 == 0 and h * w >= 1024:
+                qkv5 = qkv.reshape(b, h * w, 3, self.num_heads, head_dim)
+                q, k, v = qkv5[:, :, 0], qkv5[:, :, 1], qkv5[:, :, 2]
                 out = sam_global_attention(q, k, v, rel_pos_h, rel_pos_w,
                                            (h, w), sm_scale=scale)
+                out = out.reshape(b, h * w, c)
             else:
-                out = sam_window_attention(q, k, v, rel_pos_h, rel_pos_w,
-                                           (h, w), sm_scale=scale)
+                out = sam_window_attention_qkv(
+                    qkv, rel_pos_h, rel_pos_w, (h, w), self.num_heads,
+                    sm_scale=scale)
         else:
+            qkv5 = qkv.reshape(b, h * w, 3, self.num_heads, head_dim)
+            q, k, v = qkv5[:, :, 0], qkv5[:, :, 1], qkv5[:, :, 2]
             logits = jnp.einsum("blnd,bmnd->bnlm", q * scale, k,
                                 preferred_element_type=jnp.float32)
             probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
@@ -156,8 +161,12 @@ class SamBlock(nn.Module):
     def __call__(self, x):  # (B, H, W, C)
         cfg = self.cfg
         shortcut = x
+        # LN stats in fp32 (flax default), output cast straight to the
+        # compute dtype: every consumer casts to bf16 anyway, so this is
+        # bit-identical while halving the LN's HBM write traffic.
         x = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
-                         param_dtype=self.param_dtype, name="norm1")(x)
+                         param_dtype=self.param_dtype,
+                         name="norm1")(x).astype(self.dtype)
         hw = x.shape[1:3]
         if self.window_size > 0:
             x, pad_hw = window_partition(x, self.window_size)
@@ -172,7 +181,8 @@ class SamBlock(nn.Module):
             x = window_unpartition(x, self.window_size, pad_hw, hw)
         x = shortcut + x
         y = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
-                         param_dtype=self.param_dtype, name="norm2")(x)
+                         param_dtype=self.param_dtype,
+                         name="norm2")(x).astype(self.dtype)
         y = MLPBlock(int(cfg.embed_dim * cfg.mlp_ratio), dtype=self.dtype,
                      param_dtype=self.param_dtype, name="mlp")(y)
         return x + y

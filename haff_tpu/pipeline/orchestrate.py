@@ -191,11 +191,53 @@ def sam_mask_completion(sam_apply: Callable, images: np.ndarray,
 
 @dataclass
 class PipelineStages:
-    """Pluggable external stages (reference submodules)."""
+    """Pluggable external stages (reference submodules). When left None,
+    run_pipeline_from_video falls back to the in-repo jitted defaults
+    (pipeline/defaults.py) so the whole pipeline runs with zero external
+    repos — the reference requires cloning XMem_Batch +
+    agent_inpainting submodules for the same stages (.gitmodules:1-12)."""
 
     propagate_masks: Optional[Callable] = None   # XMem analog
     inpaint_hands: Optional[Callable] = None     # agent_inpainting analog
     complete_masks: Optional[Callable] = None    # sam2 analog
+
+
+def run_pipeline_from_video(frames: np.ndarray, seed_left: np.ndarray,
+                            seed_right: np.ndarray, seed_obj: np.ndarray,
+                            narration: str, taxonomy3: Sequence[float],
+                            out_dir: str,
+                            stages: PipelineStages = PipelineStages(),
+                            **kwargs) -> List[Tuple[str, str]]:
+    """Raw clip -> shards with only frame-0 seed masks (the VISOR-seeded
+    protocol of reference pipeline.bash stages 1-2): propagate the seeds
+    through the clip (stage 2), inpaint the hands out (stage 4), then
+    run the standard mask pipeline.
+
+    frames: (N, H, W, 3) uint8; seed_*: (H, W) binary masks on frame 0.
+    """
+    from .defaults import default_inpaint, default_propagate
+
+    n = frames.shape[0]
+    if stages.propagate_masks is not None:
+        left, right, obj = stages.propagate_masks(
+            frames, seed_left, seed_right, seed_obj)
+    else:
+        left, right, obj = default_propagate(
+            frames, seed_left, seed_right, seed_obj)
+
+    hands = ((np.asarray(left) != 0) | (np.asarray(right) != 0))
+    if stages.inpaint_hands is not None:
+        inpainted = np.asarray(stages.inpaint_hands(frames))
+    else:
+        inpainted = default_inpaint(frames, hands.astype(np.uint8))
+
+    # Stage 4 already consumed; null it so run_pipeline does not re-run.
+    inner = PipelineStages(inpaint_hands=None,
+                           complete_masks=stages.complete_masks)
+    return run_pipeline(
+        inpainted, np.asarray(left), np.asarray(right), np.asarray(obj),
+        [narration] * n, np.tile(np.asarray(taxonomy3, np.float32), (n, 1)),
+        out_dir, stages=inner, **kwargs)
 
 
 def run_pipeline(frames: np.ndarray, hand_masks_left: np.ndarray,

@@ -96,6 +96,54 @@ def test_eval_tools(tmp_path):
     assert (ov[15, 15, 0] > frames[0][15, 15, 0] * 0.5 - 1)
 
 
+def test_join_and_add_external(tmp_path):
+    """prepare_folders.py / add_affex.py analogs: join baseline-method
+    predictions with benchmark frames into a scoreable layout."""
+    import cv2
+
+    from haff_tpu.eval.tools import (add_external_affordances,
+                                     join_prediction_folders)
+
+    png = (np.random.RandomState(0).rand(8, 8) * 255).astype(np.uint8)
+    bench = tmp_path / "bench"
+    pred = tmp_path / "pred"
+    # benchmark frames use 7-digit ids; method output dropped the zeros
+    for fid in ("0000003", "0000017"):
+        d = bench / fid
+        d.mkdir(parents=True)
+        cv2.imwrite(str(d / "inpainted_frame.png"), png)
+        (d / "annotation.json").write_text(json.dumps({"narration": "x"}))
+    for fid, hands in (("3", ("left", "right")), ("17", ("right",)),
+                       ("99", ("left",))):  # 99 has no benchmark match
+        d = pred / fid
+        d.mkdir(parents=True)
+        for h in hands:
+            cv2.imwrite(str(d / f"aff_{h}.png"), png)
+
+    out = tmp_path / "joined"
+    assert join_prediction_folders(str(pred), str(bench), str(out)) == 2
+    assert (out / "3" / "aff_left.png").exists()
+    assert (out / "3" / "annotation.json").exists()
+    assert (out / "17" / "aff_right.png").exists()
+    assert not (out / "17" / "aff_left.png").exists()
+    assert not (out / "99").exists()
+
+    # add_affex case 1: flat left/right folders keyed by frame id
+    masks = tmp_path / "masks"
+    (masks / "left").mkdir(parents=True)
+    (masks / "right").mkdir(parents=True)
+    cv2.imwrite(str(masks / "left" / "0000003.png"), png)
+    cv2.imwrite(str(masks / "right" / "0000017.png"), png)
+    cv2.imwrite(str(masks / "left" / "0000042.png"), png)  # no match
+    out2 = tmp_path / "affex"
+    assert add_external_affordances(str(bench), str(masks), str(out2)) == 2
+    assert (out2 / "0000003" / "aff_left.png").exists()
+    assert (out2 / "0000017" / "aff_right.png").exists()
+
+    # case 2: mirrored structure; existing outputs never overwritten
+    assert add_external_affordances(str(bench), str(out2), str(out2)) == 0
+
+
 def test_merge_lora_folds_adapters():
     import dataclasses
 

@@ -121,3 +121,82 @@ def test_filter_rejects_bad_records():
     assert not filter_record(
         FrameRecord(inpainted=img, narration="cut onion",
                     taxonomy=[1, 0, 0, 0], aff_left=tiny))
+
+
+def test_default_propagate_tracks_moving_square():
+    """Stage-2 default: a square translating 2 px/frame is tracked from
+    a frame-0 seed through 8 frames (XMem-submodule analog,
+    pipeline/defaults.py)."""
+    from haff_tpu.pipeline.defaults import default_propagate
+
+    n, H, W = 8, 64, 64
+    frames = np.full((n, H, W, 3), 30, np.uint8)
+    seed_obj = np.zeros((H, W), np.uint8)
+    for t in range(n):
+        y, x = 16, 8 + 2 * t
+        frames[t, y:y + 16, x:x + 16] = 200
+    seed_obj[16:32, 8:24] = 1
+    seed_l = np.zeros((H, W), np.uint8)
+    seed_l[40:48, 8:16] = 1  # static "hand" patch
+    frames[:, 40:48, 8:16] = 120
+    left, right, obj = default_propagate(frames, seed_l, seed_l, seed_obj)
+    assert obj.shape == (n, H, W)
+    # last frame: predicted object overlaps the true square well
+    true = np.zeros((H, W), bool)
+    true[16:32, 8 + 2 * (n - 1):24 + 2 * (n - 1)] = True
+    pred = obj[-1] > 0
+    inter = (pred & true).sum()
+    union = (pred | true).sum()
+    assert inter / max(union, 1) > 0.4, inter / max(union, 1)
+    # static hand stays put
+    assert left[-1, 42, 10] > 0
+
+
+def test_default_inpaint_fills_from_time():
+    """Stage-4 default: pixels occluded in one frame are filled from a
+    frame where they are visible; never-visible pixels get diffusion."""
+    from haff_tpu.pipeline.defaults import default_inpaint
+
+    n, H, W = 4, 32, 32
+    frames = np.full((n, H, W, 3), 50, np.uint8)
+    frames[:, :, :, 1] = 90
+    masks = np.zeros((n, H, W), np.uint8)
+    # hand covers a moving strip; each pixel visible in some frame
+    for t in range(n):
+        masks[t, :, 8 * t // 2: 8 * t // 2 + 6] = 1
+        frames[t, :, 8 * t // 2: 8 * t // 2 + 6] = 255
+    out = default_inpaint(frames, masks)
+    assert out.shape == frames.shape
+    # occluded strip in frame 0 is filled with background, not 255
+    assert abs(int(out[0, 16, 2, 0]) - 50) < 12, out[0, 16, 2]
+    assert (out[np.asarray(masks) == 0] ==
+            frames[np.asarray(masks) == 0]).all()
+
+
+def test_run_pipeline_from_video_end_to_end(tmp_path):
+    """Raw synthetic clip + frame-0 seeds -> valid shards consumed by
+    AffDataset, using ONLY in-repo default stages (VERDICT item 6)."""
+    from haff_tpu.pipeline.orchestrate import run_pipeline_from_video
+
+    n, H, W = 6, 64, 64
+    frames = np.full((n, H, W, 3), 40, np.uint8)
+    seed_obj = np.zeros((H, W), np.uint8)
+    seed_l = np.zeros((H, W), np.uint8)
+    seed_r = np.zeros((H, W), np.uint8)
+    frames[:, 24:40, 24:40] = 220          # static object
+    seed_obj[24:40, 24:40] = 1
+    frames[:, 28:36, 20:28] = 140          # left hand overlapping object
+    seed_l[28:36, 20:28] = 1
+    frames[:, 28:36, 36:44] = 160          # right hand overlapping object
+    seed_r[28:36, 36:44] = 1
+
+    shards = run_pipeline_from_video(
+        frames, seed_l, seed_r, seed_obj, "cut onion", [0.0, 1.0, 0.0],
+        str(tmp_path), shard_size=16, dilate_factor=3)
+    assert shards, "no shards packed"
+    ds = AffDataset(str(tmp_path), samples_per_epoch=4, seed=0)
+    s = ds.get(0)
+    assert s.image.shape[2] == 3
+    assert (np.asarray(s.mask_left).sum() > 0
+            or np.asarray(s.mask_right).sum() > 0)
+    assert "cut onion" in s.question
