@@ -3,12 +3,22 @@
 -> dual mask decode -> canvas), frames/sec/chip.
 
 The driver's headline (bench.py) isolates the mask path; this script
-measures the whole evaluate() pipeline. The decoder is the 1B preset —
-a 7B decoder plus SAM-H and CLIP-L exceeds a single v5e's 16 GB HBM in
-bf16 with KV caches (the reference's 7B/13B configs target v5p in
-BASELINE.json). Prints one JSON line.
+measures the whole evaluate() pipeline — the analog of the reference's
+inference.py:158-191 serving loop.
+
+Presets: ``--preset 1b`` (bf16, fits v5e trivially) and the flagship
+``--preset 7b --load_in_8bit`` — LLaMA-7B bf16 + SAM-H + CLIP-L busts a
+single v5e's 16 GB HBM, but the W8A8 int8 serving set (nn/quant
+lisa_serving_predicate: LLM projections + SAM encoder matmuls) fits.
+With --load_in_8bit the float model is NEVER materialized: params are
+generated directly in serving precision from a jax.eval_shape tree
+(nn/quant.random_quantized_like), which is exact for throughput
+measurement (same shapes/dtypes/HBM layout as a converted checkpoint).
+
+Prints one JSON line per mode.
 """
 
+import argparse
 import json
 import time
 
@@ -17,7 +27,11 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main(batch=8, prompt_len=320, max_new=16, preset="1b"):  # batch 8 measured best (9.6 vs 8.9 fps at 4)
+def build(preset="1b", batch=8, prompt_len=320, max_new=16,
+          load_in_8bit=False, kv_cache_8bit=False):
+    """Returns (run, meta) where run() executes one evaluate() call and
+    host-syncs on a device-reduced scalar (axon tunnel rule: sync via
+    scalar readback, never block_until_ready)."""
     from haff_tpu.core.config import IMAGE_TOKEN_INDEX, ModelConfig
     from haff_tpu.infer.evaluate import make_jitted_evaluate
     from haff_tpu.model.lisa import LisaModel, TrainBatch
@@ -43,66 +57,49 @@ def main(batch=8, prompt_len=320, max_new=16, preset="1b"):  # batch 8 measured 
         taxonomies=jnp.zeros((batch, 4)),
         valid_region=jnp.ones((batch, S, S)),
         sample_weight=jnp.ones((batch,)))
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), batch0)
-    ev = make_jitted_evaluate(model, max_new_tokens=max_new, eos_id=2)
+    if load_in_8bit:
+        from haff_tpu.nn.quant import (lisa_serving_predicate,
+                                       random_quantized_like)
+
+        shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), batch0)
+        params = random_quantized_like(shapes, lisa_serving_predicate)
+    else:
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), batch0)
+    ev = make_jitted_evaluate(model, max_new_tokens=max_new, eos_id=2,
+                              kv_cache_8bit=kv_cache_8bit)
 
     def run():
         res = ev(params, images_sam, images_clip, jnp.asarray(ids),
                  jnp.asarray(attn))
         return float(np.asarray(res.taxonomies).sum())  # host sync
 
+    meta = dict(decoder=preset, batch=batch, max_new_tokens=max_new,
+                load_in_8bit=load_in_8bit, kv_cache_8bit=kv_cache_8bit)
+    return run, meta
+
+
+def main(batch=8, prompt_len=320, max_new=16, preset="1b",
+         load_in_8bit=False, kv_cache_8bit=False, iters=5):
+    run, meta = build(preset, batch, prompt_len, max_new,
+                      load_in_8bit, kv_cache_8bit)
     run()  # compile
     run()  # warm
     t0 = time.perf_counter()
-    iters = 5
     for _ in range(iters):
         run()
     dt = time.perf_counter() - t0
     fps = batch * iters / dt
     print(json.dumps(dict(metric="e2e_affordance_frames_per_sec_chip",
-                          value=round(fps, 3), unit="frames/s",
-                          decoder=preset, batch=batch,
-                          max_new_tokens=max_new)))
+                          value=round(fps, 3), unit="frames/s", **meta)))
     return fps
 
 
-def latency(prompt_len=320, max_new=16, preset="1b", iters=12):
+def latency(prompt_len=320, max_new=16, preset="1b", iters=12,
+            load_in_8bit=False, kv_cache_8bit=False):
     """Single-frame p50 latency (BASELINE north-star 'p50 ms/frame'):
     batch 1 through the full evaluate, per-call host-synced timings."""
-    import contextlib
-    import io
-
-    # Build a batch-1 pipeline by reusing main()'s setup path.
-    from haff_tpu.core.config import IMAGE_TOKEN_INDEX, ModelConfig
-    from haff_tpu.infer.evaluate import make_jitted_evaluate
-    from haff_tpu.model.lisa import LisaModel, TrainBatch
-
-    cfg = ModelConfig.preset(preset)
-    model = LisaModel(cfg=cfg, dtype=jnp.bfloat16)
-    rng = np.random.RandomState(0)
-    S, C = cfg.sam_encoder.image_size, cfg.clip.image_size
-    ids = rng.randint(5, 30000, (1, prompt_len)).astype(np.int32)
-    ids[:, 0] = 1
-    ids[:, 2] = IMAGE_TOKEN_INDEX
-    attn = np.ones((1, prompt_len), np.int32)
-    images_sam = jnp.asarray(rng.randn(1, S, S, 3).astype(np.float32))
-    images_clip = jnp.asarray(rng.randn(1, C, C, 3).astype(np.float32))
-    batch0 = TrainBatch(
-        images_sam=images_sam, images_clip=images_clip,
-        image_index=jnp.zeros((1,), jnp.int32),
-        input_ids=jnp.asarray(ids), labels=jnp.asarray(ids),
-        attention_mask=jnp.asarray(attn),
-        masks_left=jnp.zeros((1, S, S)), masks_right=jnp.zeros((1, S, S)),
-        taxonomies=jnp.zeros((1, 4)), valid_region=jnp.ones((1, S, S)),
-        sample_weight=jnp.ones((1,)))
-    params = jax.jit(model.init)(jax.random.PRNGKey(0), batch0)
-    ev = make_jitted_evaluate(model, max_new_tokens=max_new, eos_id=2)
-
-    def run():
-        res = ev(params, images_sam, images_clip, jnp.asarray(ids),
-                 jnp.asarray(attn))
-        return float(np.asarray(res.taxonomies).sum())  # host sync
-
+    run, meta = build(preset, 1, prompt_len, max_new,
+                      load_in_8bit, kv_cache_8bit)
     run()
     run()
     times = []
@@ -112,16 +109,101 @@ def latency(prompt_len=320, max_new=16, preset="1b", iters=12):
         times.append((time.perf_counter() - t0) * 1000)
     p50 = float(np.percentile(times, 50))
     print(json.dumps(dict(metric="e2e_p50_ms_per_frame",
-                          value=round(p50, 2), unit="ms",
-                          decoder=preset, batch=1,
-                          max_new_tokens=max_new)))
+                          value=round(p50, 2), unit="ms", **meta)))
     return p50
 
 
-if __name__ == "__main__":
-    import sys
+def streaming(preset="1b", chunk=8, n_frames=30, hw=(1080, 1920),
+              max_new=16, load_in_8bit=False, iters=3):
+    """BASELINE config 3: 30-frame egocentric clip, raw uint8 frames ->
+    on-device resize/pad/normalize -> full evaluate per chunk
+    (infer/streaming.StreamingPipeline; reference analog
+    preprocess_video.py:7-50 + inference.py frame walk, which preprocess
+    on host CPU per frame). Sync is a device-reduced scalar per chunk —
+    mask readback is excluded (the axon tunnel makes host readback
+    pathologically slow; see ROUND_NOTES).
+    """
+    from haff_tpu.core.config import ModelConfig
+    from haff_tpu.data.tokenizer import ByteTokenizer, seg_token_idx
+    from haff_tpu.infer.streaming import StreamingPipeline
+    from haff_tpu.model.lisa import LisaModel
 
-    if "--latency" in sys.argv:
-        latency()
+    tok = ByteTokenizer()
+    cfg = ModelConfig.preset(preset).replace(seg_token_idx=seg_token_idx(tok))
+    model = LisaModel(cfg=cfg, dtype=jnp.bfloat16)
+    from haff_tpu.model.lisa import TrainBatch
+
+    S, C = cfg.sam_encoder.image_size, cfg.clip.image_size
+    batch0 = TrainBatch(
+        images_sam=jnp.zeros((chunk, S, S, 3)),
+        images_clip=jnp.zeros((chunk, C, C, 3)),
+        image_index=jnp.arange(chunk, dtype=jnp.int32),
+        input_ids=jnp.ones((chunk, 64), jnp.int32),
+        labels=jnp.ones((chunk, 64), jnp.int32),
+        attention_mask=jnp.ones((chunk, 64), jnp.int32),
+        masks_left=jnp.zeros((chunk, S, S)),
+        masks_right=jnp.zeros((chunk, S, S)),
+        taxonomies=jnp.zeros((chunk, 4)),
+        valid_region=jnp.ones((chunk, S, S)),
+        sample_weight=jnp.ones((chunk,)))
+    if load_in_8bit:
+        from haff_tpu.nn.quant import (lisa_serving_predicate,
+                                       random_quantized_like)
+
+        shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), batch0)
+        params = random_quantized_like(shapes, lisa_serving_predicate)
     else:
-        main()
+        params = jax.jit(model.init)(jax.random.PRNGKey(0), batch0)
+    pipe = StreamingPipeline(model, params, tok, "open the drawer",
+                             chunk=chunk, max_new_tokens=max_new)
+    rng = np.random.RandomState(0)
+    frames = (rng.rand(n_frames, *hw, 3) * 255).astype(np.uint8)
+
+    def one_clip():
+        s = 0.0
+        for start in range(0, n_frames, chunk):
+            block = frames[start:start + chunk]
+            pad = chunk - block.shape[0]
+            if pad:
+                block = np.concatenate(
+                    [block, np.repeat(block[-1:], pad, 0)])
+            ml, mr, tax = pipe._step(pipe._params, jnp.asarray(block))
+            s += float(np.asarray(tax.sum()))  # scalar sync per chunk
+        return s
+
+    one_clip()  # compile
+    one_clip()  # warm
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        one_clip()
+    dt = time.perf_counter() - t0
+    fps = n_frames * iters / dt
+    print(json.dumps(dict(metric="streaming_clip_frames_per_sec_chip",
+                          value=round(fps, 3), unit="frames/s",
+                          decoder=preset, chunk=chunk, n_frames=n_frames,
+                          frame_hw=list(hw), max_new_tokens=max_new,
+                          load_in_8bit=load_in_8bit)))
+    return fps
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="1b")
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--prompt_len", type=int, default=320)
+    ap.add_argument("--max_new", type=int, default=16)
+    ap.add_argument("--iters", type=int, default=5)
+    ap.add_argument("--load_in_8bit", action="store_true")
+    ap.add_argument("--kv_cache_8bit", action="store_true")
+    ap.add_argument("--latency", action="store_true")
+    ap.add_argument("--streaming", action="store_true")
+    a = ap.parse_args()
+    if a.streaming:
+        streaming(a.preset, chunk=a.batch, max_new=a.max_new,
+                  load_in_8bit=a.load_in_8bit, iters=max(a.iters, 3))
+    elif a.latency:
+        latency(a.prompt_len, a.max_new, a.preset, max(a.iters, 12),
+                a.load_in_8bit, a.kv_cache_8bit)
+    else:
+        main(a.batch, a.prompt_len, a.max_new, a.preset,
+             a.load_in_8bit, a.kv_cache_8bit, a.iters)

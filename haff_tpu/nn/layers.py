@@ -27,10 +27,15 @@ class QDense(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
     kernel_init: Callable = nn.initializers.lecun_normal()
     bias_init: Callable = nn.initializers.zeros
+    kernel_axes: Optional[tuple] = None  # logical partitioning names
 
     @nn.compact
     def __call__(self, x):
-        kernel = self.param("kernel", self.kernel_init,
+        kernel_init = self.kernel_init
+        if self.kernel_axes is not None:
+            kernel_init = nn.with_logical_partitioning(
+                kernel_init, self.kernel_axes)
+        kernel = self.param("kernel", kernel_init,
                             (x.shape[-1], self.features), self.param_dtype)
         bias = (self.param("bias", self.bias_init, (self.features,),
                            self.param_dtype) if self.use_bias else None)

@@ -37,11 +37,16 @@ VOCAB = "vocab"
 
 
 def _dense(features, name, kernel_axes, dtype, param_dtype, use_bias=False):
-    return nn.Dense(
+    # QDense == nn.Dense bit-for-bit with a float kernel (same param
+    # names/init stream), but switches to the W8A8 int8-MXU matmul when
+    # the params tree carries an int8 kernel + scale
+    # (quant.quantize_dense_tree) — the serving path of the reference's
+    # bnb 8-bit load (inference.py:133-156) without per-step dequant.
+    from .layers import QDense
+
+    return QDense(
         features, use_bias=use_bias, dtype=dtype, param_dtype=param_dtype,
-        kernel_init=nn.with_logical_partitioning(
-            nn.initializers.lecun_normal(), kernel_axes),
-        name=name)
+        kernel_axes=kernel_axes, name=name)
 
 
 class RMSNorm(nn.Module):

@@ -28,13 +28,13 @@ class LoraDense(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        kernel_init = nn.initializers.lecun_normal()
-        if self.kernel_axes is not None:
-            kernel_init = nn.with_logical_partitioning(
-                kernel_init, self.kernel_axes)
-        y = nn.Dense(self.features, use_bias=self.use_bias,
-                     dtype=self.dtype, param_dtype=self.param_dtype,
-                     kernel_init=kernel_init, name="base")(x)
+        # QDense: bit-identical to nn.Dense with a float kernel; serves
+        # int8 kernels (quantize_dense_tree) on the int8-MXU path.
+        from .layers import QDense
+
+        y = QDense(self.features, use_bias=self.use_bias,
+                   dtype=self.dtype, param_dtype=self.param_dtype,
+                   kernel_axes=self.kernel_axes, name="base")(x)
         if self.rank > 0:
             in_dim = x.shape[-1]
             a = self.param("lora_a", nn.initializers.he_uniform(),

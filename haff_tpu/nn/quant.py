@@ -206,6 +206,61 @@ def sam_encoder_predicate(path: Tuple[str, ...]) -> bool:
     return len(path) >= 2 and path[-2] in ("qkv", "proj", "lin1", "lin2")
 
 
+def lisa_serving_predicate(path: Tuple[str, ...]) -> bool:
+    """Whole-model W8A8 serving set: the SAM encoder transformer matmuls
+    plus the LLM projections (embeddings, norms, decoders, CLIP stay
+    bf16). Used by the flagship single-chip serving configuration —
+    LLaMA-7B bf16 alone exceeds a v5e's 16 GB HBM, int8 fits
+    (reference analog: the bnb 8-bit load, inference.py:133-156)."""
+    p = set(str(x) for x in path)
+    if any(str(x).startswith("blocks_") for x in path):
+        return sam_encoder_predicate(path)
+    if "vision_tower" in p or "embed_tokens" in p:
+        return False
+    return any(n in p for n in (
+        "q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj",
+        "down_proj", "lm_head"))
+
+
+def random_quantized_like(shapes: Dict,
+                          predicate: Callable[[Tuple[str, ...]], bool],
+                          key=None, big_bf16: int = 1_000_000) -> Dict:
+    """Materialize a random params tree directly in serving precision
+    from a jax.eval_shape pytree: predicate'd 2D kernels become int8
+    (+ in-tree 'scale'), any leaf larger than `big_bf16` elements
+    becomes bf16, the rest keeps its dtype. The float model is NEVER
+    materialized — this is how the 7B bench fits a 16 GB chip for
+    weight-agnostic throughput measurement."""
+    import jax
+
+    key = jax.random.PRNGKey(0) if key is None else key
+    flat = traverse_util.flatten_dict(shapes)
+
+    def gen(key):
+        out = {}
+        for i, (k, v) in enumerate(sorted(flat.items())):
+            sub = jax.random.fold_in(key, i)
+            arr = _unboxed(v)
+            shape = arr.shape
+            if (k[-1] == "kernel" and len(shape) == 2 and predicate(k)):
+                out[k] = jax.random.randint(sub, shape, -127, 128,
+                                            dtype=jnp.int8)
+                out[k[:-1] + ("scale",)] = jnp.full(
+                    (shape[-1],), 0.02 / max(shape[0], 1) ** 0.5,
+                    jnp.float32)
+                continue
+            dt = (jnp.bfloat16 if int(np.prod(shape)) > big_bf16
+                  else arr.dtype)
+            if jnp.issubdtype(arr.dtype, jnp.floating):
+                out[k] = (jax.random.normal(sub, shape, jnp.float32)
+                          * 0.02).astype(dt)
+            else:
+                out[k] = jnp.zeros(shape, arr.dtype)
+        return traverse_util.unflatten_dict(out)
+
+    return jax.jit(gen)(key)
+
+
 def default_llm_predicate(path: Tuple[str, ...]) -> bool:
     """Quantize LLM projections; skip the visual model and embeddings
     (reference skips visual_model for bnb too, inference.py:141-150)."""

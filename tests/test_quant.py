@@ -262,3 +262,46 @@ def test_sam_encoder_int8_close():
     err = np.abs(out - ref)
     denom = np.abs(ref).mean() + 1e-6
     assert err.mean() / denom < 0.1, err.mean() / denom
+
+
+def test_random_quantized_like_lisa_serving():
+    """Whole-model serving-precision materialization: eval_shape ->
+    random_quantized_like(lisa_serving_predicate) -> full evaluate().
+    This is the path the flagship 7B bench uses to fit a 16 GB chip
+    without ever materializing the float model (bench_e2e.py;
+    reference analog: bnb 8-bit load, inference.py:133-156)."""
+    import flax.traverse_util as tu
+
+    from haff_tpu.core.config import ModelConfig
+    from haff_tpu.infer.evaluate import make_jitted_evaluate
+    from haff_tpu.model.lisa import LisaModel
+    from haff_tpu.nn.quant import (lisa_serving_predicate,
+                                   random_quantized_like)
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_lisa_model import make_tiny_batch
+
+    cfg = ModelConfig.preset("tiny")
+    model = LisaModel(cfg=cfg, dtype=jnp.bfloat16)
+    batch = make_tiny_batch(cfg)
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), batch)
+    params = random_quantized_like(shapes, lisa_serving_predicate)
+
+    flat = tu.flatten_dict(params["params"] if "params" in params
+                           else params)
+    int8 = [k for k, v in flat.items() if v.dtype == jnp.int8]
+    # LLM projections AND SAM encoder matmuls are int8; embeddings,
+    # CLIP tower and decoders stay float.
+    assert any("q_proj" in k for k in int8)
+    assert any("lin1" in k for k in int8)
+    assert not any("embed_tokens" in k or "vision_tower" in k
+                   for k in int8)
+    for k in int8:
+        assert k[:-1] + ("scale",) in flat, k
+
+    ev = make_jitted_evaluate(model, max_new_tokens=2, eos_id=2)
+    res = ev(params, batch.images_sam[:2], batch.images_clip[:2],
+             batch.input_ids[:2], batch.attention_mask[:2])
+    assert np.isfinite(np.asarray(res.pred_masks_left)).all()
+    assert np.isfinite(np.asarray(res.taxonomies)).all()
