@@ -160,15 +160,37 @@ def streaming(preset="1b", chunk=8, n_frames=30, hw=(1080, 1920),
     frames = (rng.rand(n_frames, *hw, 3) * 255).astype(np.uint8)
 
     def one_clip():
-        s = 0.0
-        for start in range(0, n_frames, chunk):
-            block = frames[start:start + chunk]
-            pad = chunk - block.shape[0]
-            if pad:
-                block = np.concatenate(
-                    [block, np.repeat(block[-1:], pad, 0)])
-            ml, mr, tax = pipe._step(pipe._params, jnp.asarray(block))
-            s += float(np.asarray(tax.sum()))  # scalar sync per chunk
+        # Same double-buffered prefetch as StreamingPipeline.run(): a
+        # feed thread stages the next chunk's H2D transfer while the
+        # device computes the current one (sync = per-chunk device
+        # scalar, mask readback excluded — see docstring).
+        import queue as _q
+        import threading as _t
+
+        qq: "_q.Queue" = _q.Queue(maxsize=2)
+
+        def feed():
+            for start in range(0, n_frames, chunk):
+                block = frames[start:start + chunk]
+                pad = chunk - block.shape[0]
+                if pad:
+                    block = np.concatenate(
+                        [block, np.repeat(block[-1:], pad, 0)])
+                qq.put(jax.device_put(block))
+            qq.put(None)
+
+        _t.Thread(target=feed, daemon=True).start()
+        s, pending = 0.0, None
+        while True:
+            item = qq.get()
+            if item is None:
+                break
+            ml, mr, tax = pipe._step(pipe._params, item)
+            if pending is not None:   # sync previous chunk (pipelined)
+                s += float(np.asarray(pending))
+            pending = tax.sum()
+        if pending is not None:
+            s += float(np.asarray(pending))
         return s
 
     one_clip()  # compile

@@ -131,11 +131,17 @@ def main(argv=None):
         print(f"restored checkpoint step {step}")
 
     scales = None
-    if args.load_in_8bit or args.load_in_4bit:
+    if args.load_in_4bit:
         from ..nn.quant import default_llm_predicate, quantize_tree
 
         params, scales = quantize_tree(params, default_llm_predicate,
-                                       bits=4 if args.load_in_4bit else 8)
+                                       bits=4)
+    elif args.load_in_8bit:
+        # W8A8 in-tree int8 (QDense int8-MXU path, no per-step dequant).
+        from ..nn.quant import (lisa_serving_predicate,
+                                quantize_dense_tree)
+
+        params = quantize_dense_tree(params, lisa_serving_predicate)
     ev = make_jitted_evaluate(model, max_new_tokens=args.max_new_tokens,
                               eos_id=tok.eos_token_id,
                               quant_scales=scales,

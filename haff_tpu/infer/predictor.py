@@ -65,12 +65,20 @@ class Predictor:
 
             self.params, _ = restore_checkpoint(checkpoint, self.params)
         scales = None
-        if load_in_8bit or load_in_4bit:
+        if load_in_4bit:
             from ..nn.quant import default_llm_predicate, quantize_tree
 
             self.params, scales = quantize_tree(
-                self.params, default_llm_predicate,
-                bits=4 if load_in_4bit else 8)
+                self.params, default_llm_predicate, bits=4)
+        elif load_in_8bit:
+            # W8A8: int8 kernels + in-tree scales; QDense runs the
+            # int8-MXU matmul directly — no per-step dequant (the old
+            # quantize_tree path dequantized inside every jit call).
+            from ..nn.quant import (lisa_serving_predicate,
+                                    quantize_dense_tree)
+
+            self.params = quantize_dense_tree(
+                self.params, lisa_serving_predicate)
         self._eval = make_jitted_evaluate(
             self.model, max_new_tokens=max_new_tokens,
             eos_id=self.tok.eos_token_id, quant_scales=scales,

@@ -37,6 +37,16 @@ class MptConfig:
     multiquery: bool = False
     alibi_bias_max: int = 8
     layer_norm_eps: float = 1e-5
+    # Reference mpt/attention.py:273-297 attn_config knobs:
+    clip_qkv: Optional[float] = None   # clamp fused qkv to [-c, c]
+    qk_ln: bool = False                # LayerNorm on q and k post-split
+    # Prefix-LM (reference modeling_mpt.py:147,169-186): queries attend
+    # causally PLUS bidirectionally into the prefix region.
+    prefix_lm: bool = False
+    # "torch" forces the dense reference attention (reference
+    # attention.py scaled_multihead_dot_product_attention); "flash" uses
+    # the Pallas kernel. Same math — a parity/debug knob.
+    attn_impl: str = "flash"
 
     @staticmethod
     def preset(name: str) -> "MptConfig":
@@ -81,7 +91,8 @@ class MptAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, segment_ids=None, kv_cache=None,
-                 cache_index=None, cache_kv_segment_ids=None):
+                 cache_index=None, cache_kv_segment_ids=None,
+                 prefix_mask=None):
         cfg = self.cfg
         b, l, _ = x.shape
         nh, hd = cfg.n_heads, cfg.head_dim
@@ -90,10 +101,24 @@ class MptAttention(nn.Module):
         fused = nn.Dense(cfg.d_model + 2 * nkv * hd, use_bias=False,
                          dtype=self.dtype, param_dtype=self.param_dtype,
                          name="Wqkv")(x)
-        q = fused[..., :cfg.d_model].reshape(b, l, nh, hd)
-        k = fused[..., cfg.d_model:cfg.d_model + nkv * hd].reshape(
-            b, l, nkv, hd)
-        v = fused[..., cfg.d_model + nkv * hd:].reshape(b, l, nkv, hd)
+        if cfg.clip_qkv:
+            # reference attention.py:332-333 qkv.clamp_(±clip_qkv)
+            fused = jnp.clip(fused, -cfg.clip_qkv, cfg.clip_qkv)
+        q = fused[..., :cfg.d_model]
+        k = fused[..., cfg.d_model:cfg.d_model + nkv * hd]
+        v = fused[..., cfg.d_model + nkv * hd:]
+        if cfg.qk_ln:
+            # reference attention.py:294-297,336-338: LayerNorm over the
+            # full projected widths before the head split (fp32 math,
+            # matching the block norms).
+            ln = lambda n: nn.LayerNorm(  # noqa: E731
+                epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
+                param_dtype=self.param_dtype, name=n)
+            q = ln("q_ln")(q).astype(self.dtype)
+            k = ln("k_ln")(k).astype(self.dtype)
+        q = q.reshape(b, l, nh, hd)
+        k = k.reshape(b, l, nkv, hd)
+        v = v.reshape(b, l, nkv, hd)
 
         from .quant import QuantArray, dequantize_activation, \
             quantize_activation
@@ -134,9 +159,31 @@ class MptAttention(nn.Module):
             kk = jnp.repeat(k, nh // nkv, axis=2) if nkv != nh else k
             vv = jnp.repeat(v, nh // nkv, axis=2) if nkv != nh else v
             bias = alibi_column_bias(nh, l, cfg.alibi_bias_max)
-            out = flash_attention(q, kk, vv, bias=bias,
-                                  q_segment_ids=segment_ids,
-                                  kv_segment_ids=segment_ids, causal=True)
+            if cfg.prefix_lm and prefix_mask is not None:
+                # Prefix-LM: query i attends key j when j <= i OR j is in
+                # the prefix (reference modeling_mpt.py _apply_prefix_mask;
+                # the reference also builds ALiBi as a column bias, so the
+                # column form stays exact here).
+                ii = jnp.arange(l)[:, None]
+                jj = jnp.arange(l)[None, :]
+                allowed = (jj <= ii)[None] | (
+                    prefix_mask.astype(bool)[:, None, :])     # (B, L, L)
+                full = bias + jnp.where(
+                    allowed[:, None, :, :], 0.0, -1e9)        # (B, nh, L, L)
+                out = mha_reference(q, kk, vv, bias=full,
+                                    q_segment_ids=segment_ids,
+                                    kv_segment_ids=segment_ids,
+                                    causal=False)
+            elif cfg.attn_impl == "torch":
+                out = mha_reference(q, kk, vv, bias=bias,
+                                    q_segment_ids=segment_ids,
+                                    kv_segment_ids=segment_ids,
+                                    causal=True)
+            else:
+                out = flash_attention(q, kk, vv, bias=bias,
+                                      q_segment_ids=segment_ids,
+                                      kv_segment_ids=segment_ids,
+                                      causal=True)
         out = out.reshape(b, l, cfg.d_model)
         out = nn.Dense(cfg.d_model, use_bias=False, dtype=self.dtype,
                        param_dtype=self.param_dtype, name="out_proj")(out)
@@ -150,7 +197,8 @@ class MptBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, segment_ids=None, kv_cache=None,
-                 cache_index=None, cache_kv_segment_ids=None):
+                 cache_index=None, cache_kv_segment_ids=None,
+                 prefix_mask=None):
         cfg = self.cfg
         ln = lambda name: nn.LayerNorm(  # noqa: E731
             epsilon=cfg.layer_norm_eps, use_bias=False, use_scale=True,
@@ -158,7 +206,8 @@ class MptBlock(nn.Module):
         attn_out, new_cache = MptAttention(
             cfg=cfg, dtype=self.dtype, param_dtype=self.param_dtype,
             name="attn")(ln("norm_1")(x).astype(self.dtype), segment_ids,
-                         kv_cache, cache_index, cache_kv_segment_ids)
+                         kv_cache, cache_index, cache_kv_segment_ids,
+                         prefix_mask)
         x = x + attn_out
         h = ln("norm_2")(x).astype(self.dtype)
         h = nn.Dense(cfg.expansion_ratio * cfg.d_model, use_bias=False,
@@ -196,15 +245,17 @@ class MptForCausalLM(nn.Module):
 
     def __call__(self, inputs_embeds, positions=None, segment_ids=None,
                  kv_caches=None, cache_index=None,
-                 cache_kv_segment_ids=None, deterministic=True):
+                 cache_kv_segment_ids=None, deterministic=True,
+                 prefix_mask=None):
         """positions accepted-and-ignored (ALiBi; keeps the llama
-        interface so generate.py drives either backend)."""
+        interface so generate.py drives either backend). prefix_mask
+        (B, L) marks bidirectional-prefix positions when cfg.prefix_lm."""
         x = inputs_embeds.astype(self.dtype)
         new_caches = []
         for i, block in enumerate(self.blocks):
             cache = kv_caches[i] if kv_caches is not None else None
             x, nc = block(x, segment_ids, cache, cache_index,
-                          cache_kv_segment_ids)
+                          cache_kv_segment_ids, prefix_mask)
             new_caches.append(nc)
         x = self.norm_f(x).astype(self.dtype)
         logits = self.wte.attend(x)  # tied head

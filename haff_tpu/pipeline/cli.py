@@ -54,9 +54,42 @@ def load_sequences(frames_dir: str):
             narrs, np.asarray(tax3, np.float32))
 
 
+def acquire_video(video_path: str, stride: int = 1,
+                  max_frames: int = 0) -> np.ndarray:
+    """Stage 1 frame acquisition: raw clip -> (N, H, W, 3) uint8 RGB
+    (the in-repo analog of the reference's EPIC download + frame
+    extraction feeding pipeline.bash stage 1)."""
+    import cv2
+
+    cap = cv2.VideoCapture(video_path)
+    frames = []
+    idx = 0
+    while True:
+        ok, frame = cap.read()
+        if not ok:
+            break
+        if idx % stride == 0:
+            frames.append(cv2.cvtColor(frame, cv2.COLOR_BGR2RGB))
+            if max_frames and len(frames) >= max_frames:
+                break
+        idx += 1
+    cap.release()
+    if not frames:
+        raise SystemExit(f"no frames decoded from {video_path}")
+    return np.stack(frames)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--frames_dir", required=True)
+    src = p.add_mutually_exclusive_group(required=True)
+    src.add_argument("--frames_dir")
+    src.add_argument("--video", help="raw clip: stage-1 acquisition + "
+                     "seeded propagation (needs --seeds_dir)")
+    p.add_argument("--seeds_dir", help="dir with hand_left.png/"
+                   "hand_right.png/object.png frame-0 seeds + "
+                   "annotation.json for --video mode")
+    p.add_argument("--stride", type=int, default=1)
+    p.add_argument("--max_frames", type=int, default=0)
     p.add_argument("--out_dir", required=True)
     p.add_argument("--dilate", type=int, default=10)
     p.add_argument("--shard_size", type=int, default=512)
@@ -65,6 +98,32 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     from .orchestrate import run_pipeline
+
+    if args.video:
+        import cv2
+
+        from .orchestrate import run_pipeline_from_video
+
+        if not args.seeds_dir:
+            raise SystemExit("--video requires --seeds_dir")
+        frames = acquire_video(args.video, args.stride, args.max_frames)
+
+        def seed(name):
+            m = cv2.imread(os.path.join(args.seeds_dir, name),
+                           cv2.IMREAD_GRAYSCALE)
+            return ((m > 127).astype(np.uint8) if m is not None
+                    else np.zeros(frames.shape[1:3], np.uint8))
+
+        ann_p = os.path.join(args.seeds_dir, "annotation.json")
+        ann = json.load(open(ann_p)) if os.path.exists(ann_p) else {}
+        shards = run_pipeline_from_video(
+            frames, seed("hand_left.png"), seed("hand_right.png"),
+            seed("object.png"), ann.get("narration", ""),
+            ann.get("taxonomy3", [1, 0, 0]), args.out_dir,
+            dilate_factor=args.dilate, shard_name=args.shard_name,
+            shard_size=args.shard_size)
+        print(f"wrote {len(shards)} shard pair(s) to {args.out_dir}")
+        return
 
     data = load_sequences(args.frames_dir)
     if data is None:

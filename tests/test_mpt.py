@@ -132,3 +132,101 @@ def test_mpt_evaluate_int8_kv_cache():
         batch.input_ids[:2], batch.attention_mask[:2])
     agree = (np.asarray(res.output_ids) == np.asarray(ref.output_ids)).mean()
     assert agree >= 0.5, agree
+
+
+def test_mpt_clip_qkv_and_qk_ln():
+    """attn_config knobs (reference mpt/attention.py:273-297,332-338):
+    clip_qkv clamps the fused projection; qk_ln LayerNorms q/k over
+    their full projected widths. Both must change outputs (knobs wired)
+    and keep them finite; qk_ln adds q_ln/k_ln params."""
+    import dataclasses
+
+    import flax.traverse_util as tu
+
+    base = MptConfig.preset("tiny")
+    rng = np.random.RandomState(0)
+    ids = rng.randint(0, base.vocab_size, (2, 12)).astype(np.int32)
+
+    def run(cfg, seed=0):
+        m = MptForCausalLM(cfg=cfg)
+        p = jax.jit(lambda k, i: m.init(k, i, method="init_all"))(
+            jax.random.PRNGKey(seed), jnp.asarray(ids))
+        logits, _, _ = m.apply(p, m.apply(p, jnp.asarray(ids),
+                                          method="embed"))
+        return p, np.asarray(logits)
+
+    p0, ref = run(base)
+    # clip_qkv with a huge bound is a no-op; a tight bound changes logits
+    _, same = run(dataclasses.replace(base, clip_qkv=1e6))
+    np.testing.assert_allclose(same, ref, rtol=1e-6, atol=1e-6)
+    _, clipped = run(dataclasses.replace(base, clip_qkv=0.05))
+    assert np.isfinite(clipped).all() and not np.allclose(clipped, ref)
+
+    p_ln, out_ln = run(dataclasses.replace(base, qk_ln=True))
+    flat = tu.flatten_dict(p_ln["params"])
+    assert any("q_ln" in k for k in flat) and any("k_ln" in k for k in flat)
+    assert np.isfinite(out_ln).all()
+
+
+def test_mpt_prefix_lm():
+    """Prefix-LM (reference modeling_mpt.py _apply_prefix_mask): with a
+    prefix mask, prefix keys are visible to ALL queries (bidirectional
+    inside the prefix); non-prefix attention stays causal. Check against
+    a dense softmax reference."""
+    import dataclasses
+
+    cfg = dataclasses.replace(MptConfig.preset("tiny"), prefix_lm=True,
+                              attn_impl="torch")
+    m = MptForCausalLM(cfg=cfg)
+    rng = np.random.RandomState(1)
+    ids = rng.randint(0, cfg.vocab_size, (1, 10)).astype(np.int32)
+    p = jax.jit(lambda k, i: m.init(k, i, method="init_all"))(
+        jax.random.PRNGKey(0), jnp.asarray(ids))
+    emb = m.apply(p, jnp.asarray(ids), method="embed")
+    prefix = np.zeros((1, 10), np.int32)
+    prefix[:, :4] = 1
+
+    # causal (no prefix) vs prefix-lm must differ INSIDE the prefix
+    # (tokens 0..3 now see 0..3 bidirectionally) ...
+    causal_logits, _, _ = m.apply(p, emb)
+    pre_logits, _, _ = m.apply(p, emb, prefix_mask=jnp.asarray(prefix))
+    causal_logits, pre_logits = map(np.asarray, (causal_logits, pre_logits))
+    assert not np.allclose(pre_logits[0, :3], causal_logits[0, :3])
+    assert np.isfinite(pre_logits).all()
+
+    # Exactness: with a SINGLE block, the last row's attention inputs
+    # (k/v from pre-attention states) are unchanged by the prefix mask,
+    # so its logits must match causal exactly.
+    cfg1 = dataclasses.replace(cfg, n_layers=1)
+    m1 = MptForCausalLM(cfg=cfg1)
+    p1 = jax.jit(lambda k, i: m1.init(k, i, method="init_all"))(
+        jax.random.PRNGKey(0), jnp.asarray(ids))
+    emb1 = m1.apply(p1, jnp.asarray(ids), method="embed")
+    c1, _, _ = m1.apply(p1, emb1)
+    pl1, _, _ = m1.apply(p1, emb1, prefix_mask=jnp.asarray(prefix))
+    np.testing.assert_allclose(np.asarray(pl1)[0, -1], np.asarray(c1)[0, -1],
+                               rtol=2e-5, atol=2e-5)
+    # an all-zero prefix mask reduces exactly to causal
+    zero, _, _ = m.apply(p, emb, prefix_mask=jnp.zeros((1, 10), jnp.int32))
+    np.testing.assert_allclose(np.asarray(zero), causal_logits,
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_mpt_attn_impl_torch_matches_flash():
+    """attn_impl='torch' (dense reference attention) and the Pallas/XLA
+    flash path must agree — same math, different schedule."""
+    import dataclasses
+
+    base = MptConfig.preset("tiny")
+    rng = np.random.RandomState(2)
+    ids = rng.randint(0, base.vocab_size, (2, 16)).astype(np.int32)
+    m1 = MptForCausalLM(cfg=base)
+    p = jax.jit(lambda k, i: m1.init(k, i, method="init_all"))(
+        jax.random.PRNGKey(0), jnp.asarray(ids))
+    emb = m1.apply(p, jnp.asarray(ids), method="embed")
+    flash_logits, _, _ = m1.apply(p, emb)
+    m2 = MptForCausalLM(cfg=dataclasses.replace(base, attn_impl="torch"))
+    torch_logits, _, _ = m2.apply(p, emb)
+    np.testing.assert_allclose(np.asarray(flash_logits),
+                               np.asarray(torch_logits),
+                               rtol=2e-4, atol=2e-4)

@@ -200,3 +200,47 @@ def test_run_pipeline_from_video_end_to_end(tmp_path):
     assert (np.asarray(s.mask_left).sum() > 0
             or np.asarray(s.mask_right).sum() > 0)
     assert "cut onion" in s.question
+
+
+def test_cli_video_acquisition_end_to_end(tmp_path):
+    """Stage-1 acquisition analog: pipeline CLI --video decodes a raw
+    clip (cv2), reads frame-0 seeds, and runs the full default pipeline
+    to shards (reference analog: EPIC download + pipeline.bash stage 1
+    feeding the submodule stages)."""
+    import cv2
+
+    from haff_tpu.pipeline.cli import acquire_video, main
+
+    n, H, W = 6, 64, 64
+    frames = np.full((n, H, W, 3), 40, np.uint8)
+    frames[:, 24:40, 24:40] = 220
+    frames[:, 28:36, 20:28] = 140
+    frames[:, 28:36, 36:44] = 160
+    vid_path = str(tmp_path / "clip.avi")
+    vw = cv2.VideoWriter(vid_path, cv2.VideoWriter_fourcc(*"MJPG"), 10,
+                         (W, H))
+    for f in frames:
+        vw.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+    vw.release()
+
+    got = acquire_video(vid_path, stride=2)
+    assert got.shape == (3, H, W, 3)
+
+    seeds = tmp_path / "seeds"
+    seeds.mkdir()
+    for name, box in (("hand_left.png", (28, 36, 20, 28)),
+                      ("hand_right.png", (28, 36, 36, 44)),
+                      ("object.png", (24, 40, 24, 40))):
+        m = np.zeros((H, W), np.uint8)
+        y0, y1, x0, x1 = box
+        m[y0:y1, x0:x1] = 255
+        cv2.imwrite(str(seeds / name), m)
+    (seeds / "annotation.json").write_text(
+        '{"narration": "cut onion", "taxonomy3": [0.0, 1.0, 0.0]}')
+
+    out = tmp_path / "out"
+    main(["--video", vid_path, "--seeds_dir", str(seeds),
+          "--out_dir", str(out), "--shard_size", "16", "--dilate", "3"])
+    ds = AffDataset(str(out), samples_per_epoch=2, seed=0)
+    s = ds.get(0)
+    assert "cut onion" in s.question

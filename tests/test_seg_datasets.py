@@ -103,3 +103,111 @@ def test_grefer_multi_and_no_target(tmp_path):
     assert m1[4, 4] == 1 and m1[14, 20] == 1  # union of both anns
     m2 = refer.get_mask(refer.load_ref(2))
     assert m2.sum() == 0  # no-target
+
+
+def test_ade20k_adapter(tmp_path):
+    """init_ade20k layout walk + the id-shift label quirk (reference
+    sem_seg_dataset.py:39-67, 245-248)."""
+    import cv2
+
+    from haff_tpu.data.seg_datasets import (SemSegDataset,
+                                            ade20k_label_transform,
+                                            init_ade20k)
+
+    root = tmp_path / "ade20k"
+    (root / "images" / "training").mkdir(parents=True)
+    (root / "annotations" / "training").mkdir(parents=True)
+    (root / "ade20k_classes.json").write_text('["wall", "sky", "tree"]')
+    img = np.full((16, 16, 3), 100, np.uint8)
+    ann = np.zeros((16, 16), np.uint8)     # 0 = unlabeled in ADE20K
+    ann[2:8, 2:8] = 2                      # class id 1 ("sky") stored +1
+    ann[10:12, 10:12] = 255                # explicit ignore
+    cv2.imwrite(str(root / "images" / "training" / "a.jpg"), img)
+    cv2.imwrite(str(root / "annotations" / "training" / "a.png"), ann)
+
+    classes, images, labels = init_ade20k(str(tmp_path))
+    assert classes == ["wall", "sky", "tree"]
+    assert len(images) == 1 and labels[0].endswith("a.png")
+
+    t = ade20k_label_transform(ann)
+    assert (t[0, 0] == 255) and (t[2, 2] == 1) and (t[10, 10] == 255)
+
+    ds = SemSegDataset("", classes, image_paths=images,
+                       label_paths=labels,
+                       label_transform=ade20k_label_transform, seed=0)
+    s = ds.get(0, class_id=1)
+    assert s.mask_left.sum() == 36
+    assert "sky" in s.question
+
+
+def test_cocostuff_hyphen_drop(tmp_path):
+    from haff_tpu.data.seg_datasets import (
+        init_cocostuff, make_cocostuff_label_transform)
+
+    root = tmp_path / "cocostuff"
+    (root / "train2017").mkdir(parents=True)
+    (root / "cocostuff_classes.txt").write_text(
+        "header\n0: person\n1: wall-brick\n2: sky\n")
+    import cv2
+
+    lab = np.zeros((8, 8), np.uint8)
+    lab[:2] = 1          # hyphenated -> ignore
+    lab[2:4] = 2
+    cv2.imwrite(str(root / "train2017" / "x.png"), lab)
+
+    classes, images, labels = init_cocostuff(str(tmp_path))
+    assert classes == ["person", "wall-brick", "sky"]
+    assert images[0].endswith("coco/train2017/x.jpg".replace("/", os.sep)) \
+        or "coco" in images[0]
+    t = make_cocostuff_label_transform(classes)(lab)
+    assert (t[0] == 255).all() and (t[2] == 2).all()
+
+
+def test_mapillary_adapter(tmp_path):
+    import cv2
+
+    from haff_tpu.data.seg_datasets import init_mapillary
+
+    root = tmp_path / "mapillary"
+    (root / "training" / "v2.0" / "labels").mkdir(parents=True)
+    (root / "config_v2.0.json").write_text(
+        '{"labels": [{"readable": "Bird"}, {"readable": "Curb"}]}')
+    cv2.imwrite(str(root / "training" / "v2.0" / "labels" / "f.png"),
+                np.zeros((4, 4), np.uint8))
+    classes, images, labels = init_mapillary(str(tmp_path))
+    assert classes == ["bird", "curb"]
+    assert "images" in images[0] and images[0].endswith("f.jpg")
+
+
+def test_part_seg_dataset(tmp_path):
+    """PACO/Pascal-Part COCO-format adapter with obj:part phrasing
+    (reference sem_seg_dataset.py:89-124, 226-236)."""
+    import json as _json
+
+    import cv2
+
+    from haff_tpu.data.seg_datasets import (PartSegDataset,
+                                            part_name_phrases)
+
+    assert part_name_phrases("dog") == ["dog"]
+    assert part_name_phrases("dog_(canine):tail_(rear)") == [
+        "dog tail", "the tail of the dog"]
+
+    img_dir = tmp_path / "imgs"
+    img_dir.mkdir()
+    cv2.imwrite(str(img_dir / "i.jpg"), np.full((20, 20, 3), 9, np.uint8))
+    ann = {
+        "images": [{"id": 1, "file_name": "i.jpg",
+                    "height": 20, "width": 20}],
+        "categories": [{"id": 7, "name": "car:wheel"}],
+        "annotations": [{"id": 3, "image_id": 1, "category_id": 7,
+                         "segmentation": [[2, 2, 12, 2, 12, 12, 2, 12]],
+                         "bbox": [2, 2, 10, 10]}],
+    }
+    ap = tmp_path / "train.json"
+    ap.write_text(_json.dumps(ann))
+    ds = PartSegDataset(str(ap), str(img_dir), seed=0)
+    assert len(ds) == 1
+    s = ds.get(0)
+    assert s.mask_left.sum() > 0
+    assert ("car wheel" in s.question) or ("wheel of the car" in s.question)
