@@ -114,7 +114,7 @@ def latency(prompt_len=320, max_new=16, preset="1b", iters=12,
 
 
 def streaming(preset="1b", chunk=8, n_frames=30, hw=(1080, 1920),
-              max_new=16, load_in_8bit=False, iters=3):
+              max_new=16, load_in_8bit=False, iters=3, staged=False):
     """BASELINE config 3: 30-frame egocentric clip, raw uint8 frames ->
     on-device resize/pad/normalize -> full evaluate per chunk
     (infer/streaming.StreamingPipeline; reference analog
@@ -159,7 +159,29 @@ def streaming(preset="1b", chunk=8, n_frames=30, hw=(1080, 1920),
     rng = np.random.RandomState(0)
     frames = (rng.rand(n_frames, *hw, 3) * 255).astype(np.uint8)
 
-    def one_clip():
+    if staged:
+        # Clip pre-staged in HBM (186 MB at 30x1080p): measures the
+        # on-device pipeline (uint8 resize/pad/normalize + evaluate)
+        # without the axon tunnel's ~4.3 s/50 MB H2D serialization —
+        # the representative number for hardware with a real PCIe/ICI
+        # host link (measured: transfer-included 2.85 fps vs
+        # compute 12.9 fps on the same config).
+        pad_n = (-n_frames) % chunk
+        clip = np.concatenate([frames, np.repeat(frames[-1:], pad_n, 0)]) \
+            if pad_n else frames
+        dev_clip = jax.device_put(clip)
+
+        def one_clip():
+            s = 0.0
+            for start in range(0, n_frames, chunk):
+                ml, mr, tax = pipe._step(
+                    pipe._params, dev_clip[start:start + chunk])
+                s += float(np.asarray(tax.sum()))
+            return s
+    else:
+        one_clip = None
+
+    def one_clip_prefetch():
         # Same double-buffered prefetch as StreamingPipeline.run(): a
         # feed thread stages the next chunk's H2D transfer while the
         # device computes the current one (sync = per-chunk device
@@ -193,6 +215,9 @@ def streaming(preset="1b", chunk=8, n_frames=30, hw=(1080, 1920),
             s += float(np.asarray(pending))
         return s
 
+    if one_clip is None:
+        one_clip = one_clip_prefetch
+
     one_clip()  # compile
     one_clip()  # warm
     t0 = time.perf_counter()
@@ -204,7 +229,7 @@ def streaming(preset="1b", chunk=8, n_frames=30, hw=(1080, 1920),
                           value=round(fps, 3), unit="frames/s",
                           decoder=preset, chunk=chunk, n_frames=n_frames,
                           frame_hw=list(hw), max_new_tokens=max_new,
-                          load_in_8bit=load_in_8bit)))
+                          load_in_8bit=load_in_8bit, staged=staged)))
     return fps
 
 
@@ -219,10 +244,14 @@ if __name__ == "__main__":
     ap.add_argument("--kv_cache_8bit", action="store_true")
     ap.add_argument("--latency", action="store_true")
     ap.add_argument("--streaming", action="store_true")
+    ap.add_argument("--staged", action="store_true",
+                    help="streaming: pre-stage the clip in HBM "
+                    "(device-side pipeline number; excludes tunnel H2D)")
     a = ap.parse_args()
     if a.streaming:
         streaming(a.preset, chunk=a.batch, max_new=a.max_new,
-                  load_in_8bit=a.load_in_8bit, iters=max(a.iters, 3))
+                  load_in_8bit=a.load_in_8bit, iters=max(a.iters, 3),
+                  staged=a.staged)
     elif a.latency:
         latency(a.prompt_len, a.max_new, a.preset, max(a.iters, 12),
                 a.load_in_8bit, a.kv_cache_8bit)

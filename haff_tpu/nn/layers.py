@@ -41,11 +41,24 @@ class QDense(nn.Module):
                            self.param_dtype) if self.use_bias else None)
         if (kernel.dtype == jnp.int8
                 and self.has_variable("params", "scale")):
-            from .quant import int8_matmul
+            import os
+
+            from .quant import int8_matmul, quantized_matmul
 
             scale = self.get_variable("params", "scale")
-            y = int8_matmul(x.astype(self.dtype), kernel, scale,
-                            dtype=self.dtype)
+            # HAFF_W8_COMPUTE=bf16 selects W8A16 (int8 weights at rest,
+            # cast-to-bf16 dot, no activation-quant pass) over the W8A8
+            # default. A/B on the SAM-H encoder bench (v5e-1, batch 24):
+            # W8A8 17.07 fps vs W8A16 16.48 — int8 stays default. (An
+            # isolated chained-dot microbench, tools/mxu_bench.py, shows
+            # int8 dot_general <= bf16 rate, so the W8A8 edge here comes
+            # from halved weight traffic in the fused encoder, not 2x
+            # MXU FLOPs.)
+            if os.environ.get("HAFF_W8_COMPUTE", "int8") == "bf16":
+                y = quantized_matmul(x.astype(self.dtype), kernel, scale)
+            else:
+                y = int8_matmul(x.astype(self.dtype), kernel, scale,
+                                dtype=self.dtype)
         else:
             xc = x.astype(self.dtype)
             y = jax.lax.dot_general(
