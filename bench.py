@@ -44,11 +44,13 @@ def build(batch: int, int8: bool = False):
         .astype(np.float32))
     params = jax.jit(model.init)(jax.random.PRNGKey(0), images, text)
     if int8:
-        # W8A8 encoder transformer matmuls on the int8 MXU (2x bf16
-        # peak); accuracy-gated by tests/test_quant.py (encoder delta)
-        # and the AMG/predictor IoU tests. Analog of the reference's
-        # bnb 8-bit serving (inference.py:133-156), applied to the
-        # encoder where the TPU mask-path FLOPs actually are.
+        # W8A8 on the WINDOWED blocks' transformer matmuls (the win is
+        # halved weight HBM traffic, not MXU rate — tools/mxu_bench.py;
+        # global blocks stay bf16, where int8 measured slower).
+        # Accuracy-gated by tests/test_quant.py (encoder delta) and the
+        # AMG/predictor IoU tests. Analog of the reference's bnb 8-bit
+        # serving (inference.py:133-156), applied to the encoder where
+        # the TPU mask-path FLOPs actually are.
         from haff_tpu.nn.quant import (quantize_dense_tree,
                                        sam_encoder_predicate)
 

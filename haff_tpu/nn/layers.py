@@ -18,8 +18,9 @@ class QDense(nn.Module):
     tree (quant.quantize_dense_tree adds a sibling 'scale' leaf). With a
     float kernel this is bit-identical to nn.Dense (same param names, so
     checkpoints/converters are unaffected); with an int8 kernel + scale
-    it runs the W8A8 int8-MXU matmul (quant.int8_matmul) — 2x the bf16
-    MXU peak, int8 weights at rest in HBM."""
+    it runs the W8A8 matmul (quant.int8_matmul) — int8 weights at rest
+    in HBM, halved weight traffic (XLA's int8 dot does not raise the
+    MXU rate on v5e; see tools/mxu_bench.py)."""
 
     features: int
     use_bias: bool = True

@@ -196,12 +196,23 @@ def quantize_dense_tree(params: Dict,
     return traverse_util.unflatten_dict(flat)
 
 
-def sam_encoder_predicate(path: Tuple[str, ...]) -> bool:
+def sam_encoder_predicate(path: Tuple[str, ...],
+                          skip_blocks: Tuple[int, ...] = (7, 15, 23, 31)
+                          ) -> bool:
     """int8-quantize the SAM ViT encoder's transformer matmuls (qkv,
-    proj, MLP) — ~95% of mask-path FLOPs. The patch embed, neck convs
-    and everything outside the blocks stay bf16 (they are cheap and the
-    neck is fp32 for overflow parity, sam_image_encoder.py:209)."""
-    if not any(str(p).startswith("blocks_") for p in path):
+    proj, MLP) in the WINDOWED blocks. The patch embed, neck convs and
+    everything outside the blocks stay bf16 (cheap; the neck is fp32
+    for overflow parity, sam_image_encoder.py:209). `skip_blocks`
+    (default: ViT-H global_attn_indexes) also stay bf16 — measured on
+    v5e-1 at batch 24, int8 makes the global blocks SLOWER (74.1 vs
+    71.3 ms: their 4096-token attention is untouched by weight quant,
+    so the per-activation quantize pass is pure overhead), while the
+    windowed blocks gain (41.1 vs 44.7 ms)."""
+    blk = next((str(p) for p in path if str(p).startswith("blocks_")),
+               None)
+    if blk is None:
+        return False
+    if int(blk.split("_")[1]) in skip_blocks:
         return False
     return len(path) >= 2 and path[-2] in ("qkv", "proj", "lin1", "lin2")
 
