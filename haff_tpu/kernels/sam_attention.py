@@ -445,13 +445,22 @@ def _window_qkv_fwd(qkv, rel_h, rel_w, hw, nh, sm_scale, interpret):
 
     group = 2 if jnp.dtype(qkv.dtype).itemsize <= 2 else 1
     group = min(group, bw_)
-    while bw_ % group:
-        group -= 1
+    # Pad the window dim up to a group multiple rather than shrinking the
+    # group: at batch 1 the per-image window count is odd (25 at grid 64 /
+    # window 14), and G=1 halves per-step operand bandwidth and pipeline
+    # depth. Zero-padded windows produce a uniform softmax over zero
+    # values -> zero output rows, discarded below.
+    pad = (-bw_) % group
+    if pad:
+        qkv = jnp.pad(qkv, ((0, pad), (0, 0), (0, 0)))
+        bh = jnp.pad(bh, ((0, pad), (0, 0), (0, 0)))
+        bw = jnp.pad(bw, ((0, pad), (0, 0), (0, 0)))
+    bwp = bw_ + pad
 
     out = pl.pallas_call(
         functools.partial(_window_qkv_kernel, nh=nh, d=d, kp=kp, hw=hw,
                           sm_scale=sm_scale),
-        grid=(bw_ // group,),
+        grid=(bwp // group,),
         in_specs=[
             pl.BlockSpec((group, l, c), lambda i: (i, 0, 0)),
             pl.BlockSpec((group, l, c), lambda i: (i, 0, 1)),
@@ -460,10 +469,10 @@ def _window_qkv_fwd(qkv, rel_h, rel_w, hw, nh, sm_scale, interpret):
             pl.BlockSpec((group, l, nh * kp), lambda i: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((group, l, c), lambda i: (i, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((bw_, l, c), qkv.dtype),
+        out_shape=jax.ShapeDtypeStruct((bwp, l, c), qkv.dtype),
         interpret=interpret,
     )(qkv, qkv, qkv, bh, bw)
-    return out
+    return out[:bw_] if pad else out
 
 
 def _window_qkv_xla(qkv, rel_h, rel_w, hw, nh, sm_scale):
