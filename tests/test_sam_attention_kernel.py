@@ -97,3 +97,29 @@ def test_window_kernel_matches_xla():
     for a, b in zip(g1, g2):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-3, atol=1e-3)
+
+
+@pytest.mark.parametrize("bw", [1, 4, 5])
+def test_window_qkv_kernel_odd_window_counts(bw):
+    """The natural-layout path pads the window dim up to a group multiple
+    (at batch 1 the per-image window count is odd — 25 at grid 64 /
+    window 14); padded windows must not perturb real outputs."""
+    from haff_tpu.kernels.sam_attention import (
+        _window_qkv_xla, sam_window_attention_qkv)
+
+    rng = np.random.RandomState(7)
+    nh, d = 2, 64
+    c = nh * d
+    wh = ww = 8
+    l = wh * ww
+    qkv = jnp.asarray(
+        rng.randn(bw, l, 3 * c).astype(np.float32) * 0.3, jnp.bfloat16)
+    rel_h = jnp.asarray(rng.randn(2 * wh - 1, d).astype(np.float32) * 0.05)
+    rel_w = jnp.asarray(rng.randn(2 * ww - 1, d).astype(np.float32) * 0.05)
+    ours = sam_window_attention_qkv(qkv, rel_h, rel_w, (wh, ww), nh,
+                                    interpret=True)
+    ref = _window_qkv_xla(qkv, rel_h, rel_w, (wh, ww), nh, d ** -0.5)
+    assert ours.shape == (bw, l, c)
+    np.testing.assert_allclose(
+        np.asarray(ours, np.float32), np.asarray(ref, np.float32),
+        rtol=0.05, atol=0.02)
