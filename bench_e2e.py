@@ -28,7 +28,7 @@ import numpy as np
 
 
 def build(preset="1b", batch=8, prompt_len=320, max_new=16,
-          load_in_8bit=False, kv_cache_8bit=False):
+          load_in_8bit=False, kv_cache_8bit=False, load_in_4bit=False):
     """Returns (run, meta) where run() executes one evaluate() call and
     host-syncs on a device-reduced scalar (axon tunnel rule: sync via
     scalar readback, never block_until_ready)."""
@@ -40,7 +40,8 @@ def build(preset="1b", batch=8, prompt_len=320, max_new=16,
     model = LisaModel(cfg=cfg, dtype=jnp.bfloat16)
     rng = np.random.RandomState(0)
     S, C = cfg.sam_encoder.image_size, cfg.clip.image_size
-    ids = rng.randint(5, 30000, (batch, prompt_len)).astype(np.int32)
+    ids = rng.randint(5, min(30000, cfg.llama.vocab_size - 10),
+                      (batch, prompt_len)).astype(np.int32)
     ids[:, 0] = 1
     ids[:, 2] = IMAGE_TOKEN_INDEX
     attn = np.ones((batch, prompt_len), np.int32)
@@ -57,7 +58,19 @@ def build(preset="1b", batch=8, prompt_len=320, max_new=16,
         taxonomies=jnp.zeros((batch, 4)),
         valid_region=jnp.ones((batch, S, S)),
         sample_weight=jnp.ones((batch,)))
-    if load_in_8bit:
+    if load_in_4bit:
+        # W4A16 on the LLM projections only (QDense per-layer dequant:
+        # packed nibbles at rest, bf16 transients one layer at a time) —
+        # LLaMA-13B weights drop 26 GB -> 6.5 GB and the flagship 13B
+        # variant (BASELINE config 5's model family) serves on a single
+        # 16 GB v5e. SAM/CLIP stay bf16 (big_bf16 downcast).
+        from haff_tpu.nn.quant import (default_llm_predicate,
+                                       random_quantized_like)
+
+        shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), batch0)
+        params = random_quantized_like(shapes, default_llm_predicate,
+                                       bits=4)
+    elif load_in_8bit:
         from haff_tpu.nn.quant import (lisa_serving_predicate,
                                        random_quantized_like)
 
@@ -74,14 +87,16 @@ def build(preset="1b", batch=8, prompt_len=320, max_new=16,
         return float(np.asarray(res.taxonomies).sum())  # host sync
 
     meta = dict(decoder=preset, batch=batch, max_new_tokens=max_new,
-                load_in_8bit=load_in_8bit, kv_cache_8bit=kv_cache_8bit)
+                load_in_8bit=load_in_8bit, kv_cache_8bit=kv_cache_8bit,
+                load_in_4bit=load_in_4bit)
     return run, meta
 
 
 def main(batch=8, prompt_len=320, max_new=16, preset="1b",
-         load_in_8bit=False, kv_cache_8bit=False, iters=5):
+         load_in_8bit=False, kv_cache_8bit=False, iters=5,
+         load_in_4bit=False):
     run, meta = build(preset, batch, prompt_len, max_new,
-                      load_in_8bit, kv_cache_8bit)
+                      load_in_8bit, kv_cache_8bit, load_in_4bit)
     run()  # compile
     run()  # warm
     t0 = time.perf_counter()
@@ -95,11 +110,11 @@ def main(batch=8, prompt_len=320, max_new=16, preset="1b",
 
 
 def latency(prompt_len=320, max_new=16, preset="1b", iters=12,
-            load_in_8bit=False, kv_cache_8bit=False):
+            load_in_8bit=False, kv_cache_8bit=False, load_in_4bit=False):
     """Single-frame p50 latency (BASELINE north-star 'p50 ms/frame'):
     batch 1 through the full evaluate, per-call host-synced timings."""
     run, meta = build(preset, 1, prompt_len, max_new,
-                      load_in_8bit, kv_cache_8bit)
+                      load_in_8bit, kv_cache_8bit, load_in_4bit)
     run()
     run()
     times = []
@@ -241,6 +256,8 @@ if __name__ == "__main__":
     ap.add_argument("--max_new", type=int, default=16)
     ap.add_argument("--iters", type=int, default=5)
     ap.add_argument("--load_in_8bit", action="store_true")
+    ap.add_argument("--load_in_4bit", action="store_true",
+                    help="W4A16 LLM projections (13B fits one v5e)")
     ap.add_argument("--kv_cache_8bit", action="store_true")
     ap.add_argument("--latency", action="store_true")
     ap.add_argument("--streaming", action="store_true")
@@ -254,7 +271,7 @@ if __name__ == "__main__":
                   staged=a.staged)
     elif a.latency:
         latency(a.prompt_len, a.max_new, a.preset, max(a.iters, 12),
-                a.load_in_8bit, a.kv_cache_8bit)
+                a.load_in_8bit, a.kv_cache_8bit, a.load_in_4bit)
     else:
         main(a.batch, a.prompt_len, a.max_new, a.preset,
-             a.load_in_8bit, a.kv_cache_8bit, a.iters)
+             a.load_in_8bit, a.kv_cache_8bit, a.iters, a.load_in_4bit)

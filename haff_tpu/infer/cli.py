@@ -132,10 +132,13 @@ def main(argv=None):
 
     scales = None
     if args.load_in_4bit:
-        from ..nn.quant import default_llm_predicate, quantize_tree
+        # W4A16 in-tree packed nibbles (QDense per-layer dequant; the
+        # old quantize_tree path dequantized the WHOLE tree inside the
+        # jit, holding a full float copy live across the forward).
+        from ..nn.quant import default_llm_predicate, quantize_dense_tree
 
-        params, scales = quantize_tree(params, default_llm_predicate,
-                                       bits=4)
+        params = quantize_dense_tree(params, default_llm_predicate,
+                                     bits=4)
     elif args.load_in_8bit:
         # W8A8 in-tree int8 (QDense int8-MXU path, no per-step dequant).
         from ..nn.quant import (lisa_serving_predicate,

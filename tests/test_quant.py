@@ -305,3 +305,70 @@ def test_random_quantized_like_lisa_serving():
              batch.input_ids[:2], batch.attention_mask[:2])
     assert np.isfinite(np.asarray(res.pred_masks_left)).all()
     assert np.isfinite(np.asarray(res.taxonomies)).all()
+
+
+def test_qdense_int4_in_tree_matches_manual_dequant():
+    """QDense W4A16: a packed uint8 kernel + 2D group scales in the
+    params tree must reproduce x @ dequant(kernel) + b exactly (the
+    per-layer dequant path used by --load_in_4bit serving)."""
+    from haff_tpu.nn.layers import QDense
+    from haff_tpu.nn.quant import (dequantize_kernel_int4,
+                                   quantize_dense_tree)
+
+    rng = np.random.RandomState(11)
+    x = jnp.asarray(rng.randn(4, 128).astype(np.float32))
+    layer = QDense(32, dtype=jnp.float32)
+    params = layer.init(jax.random.PRNGKey(0), x)
+    qtree = quantize_dense_tree(params["params"], lambda k: True,
+                                bits=4, group=64)
+    assert qtree["kernel"].dtype == jnp.uint8
+    assert qtree["kernel"].shape == (64, 32)
+    assert qtree["scale"].shape == (2, 32)
+    y = layer.apply({"params": qtree}, x)
+    w = dequantize_kernel_int4(qtree["kernel"], qtree["scale"],
+                               group=64, dtype=jnp.float32)
+    ref = x @ w + qtree["bias"]
+    np.testing.assert_allclose(np.asarray(y), np.asarray(ref),
+                               rtol=1e-6, atol=1e-6)
+
+
+def test_int4_in_tree_jitted_evaluate_runs():
+    """Whole-model serving with in-tree packed int4 LLM kernels (the
+    QDense per-layer dequant path; reference load_in_4bit analog,
+    inference.py:133-156) through the full jitted evaluate."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_lisa_model import make_tiny_batch
+
+    from haff_tpu.core.config import ModelConfig
+    from haff_tpu.infer.evaluate import make_jitted_evaluate
+    from haff_tpu.model.lisa import LisaModel
+    from haff_tpu.nn.quant import quantize_dense_tree
+
+    cfg = ModelConfig.preset("tiny")
+    model = LisaModel(cfg=cfg)
+    batch = make_tiny_batch(cfg)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+    inner = quantize_dense_tree(params["params"], default_llm_predicate,
+                                bits=4, group=8)
+    kernels = [v for k, v in jax.tree_util.tree_flatten_with_path(inner)[0]
+               if getattr(v, "dtype", None) == jnp.uint8]
+    assert kernels, "no int4 kernels produced"
+    ev = make_jitted_evaluate(model, max_new_tokens=3, eos_id=2)
+    res = ev({"params": inner}, batch.images_sam, batch.images_clip,
+             batch.input_ids[:2], batch.attention_mask[:2])
+    assert np.isfinite(np.asarray(res.pred_masks_left)).all()
+
+
+def test_random_quantized_like_int4_shapes():
+    from haff_tpu.nn.quant import random_quantized_like
+
+    shapes = {
+        "proj": {"kernel": jax.ShapeDtypeStruct((128, 16), jnp.float32),
+                 "bias": jax.ShapeDtypeStruct((16,), jnp.float32)},
+    }
+    out = random_quantized_like(shapes, lambda k: True, bits=4)
+    assert out["proj"]["kernel"].dtype == jnp.uint8
+    assert out["proj"]["kernel"].shape == (64, 16)
+    assert out["proj"]["scale"].shape == (2, 16)
