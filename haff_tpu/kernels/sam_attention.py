@@ -275,11 +275,13 @@ def _window_kernel(q_ref, k_ref, v_ref, bh_ref, bw_ref, eh_ref, ew_ref,
     v = v_ref[...]
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
-    p = p / jnp.sum(p, axis=-1, keepdims=True)
+    # normalize on the (L, d) output, not the (L, L) tile (fewer VPU
+    # divides; bitwise-equivalent up to fp rounding).
+    l_sum = jnp.sum(p, axis=-1, keepdims=True)
     o = jax.lax.dot_general(
         p.astype(v.dtype), v, (((2,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32)       # (G, L, d)
-    o_ref[...] = o.astype(o_ref.dtype)
+    o_ref[...] = (o / l_sum).astype(o_ref.dtype)
 
 
 def _window_fwd(q, k, v, rel_h, rel_w, hw, sm_scale, interpret):
@@ -422,11 +424,13 @@ def _window_qkv_kernel(q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref, *,
                                 preferred_element_type=jnp.float32)
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        # normalize on the (L, d) output, not the (L, L) tile: ~2.5x
+        # fewer VPU divides (d=80 -> 128 lanes vs L=196 -> 256).
+        l_sum = jnp.sum(p, axis=-1, keepdims=True)
         o = jax.lax.dot_general(p.astype(vh.dtype), vh,
                                 (((2,), (1,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32)
-        o_ref[:, :, h * d:(h + 1) * d] = o.astype(o_ref.dtype)
+        o_ref[:, :, h * d:(h + 1) * d] = (o / l_sum).astype(o_ref.dtype)
 
 
 def _window_qkv_fwd(qkv, rel_h, rel_w, hw, nh, sm_scale, interpret):
