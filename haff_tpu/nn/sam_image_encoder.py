@@ -104,7 +104,7 @@ class SamAttention(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):  # (B, H, W, C)
+    def __call__(self, x, unpartition=None):  # (B, H, W, C)
         b, h, w, c = x.shape
         head_dim = c // self.num_heads
         scale = head_dim ** -0.5
@@ -147,6 +147,13 @@ class SamAttention(nn.Module):
             probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
             out = jnp.einsum("bnlm,bmnd->blnd", probs.astype(self.dtype), v)
         out = out.reshape(b, h, w, c)
+        if unpartition is not None:
+            # Drop the window padding BEFORE the output projection: proj
+            # is rowwise, and the padded rows (70x70 vs 64x64 content at
+            # ViT-H = +19.6%) were computed then discarded by the
+            # caller's unpartition. Bit-identical, fewer proj FLOPs.
+            pad_hw, hw = unpartition
+            out = window_unpartition(out, h, pad_hw, hw)
         return QDense(c, dtype=self.dtype, param_dtype=self.param_dtype,
                       name="proj")(out)
 
@@ -176,9 +183,9 @@ class SamBlock(nn.Module):
         x = SamAttention(
             num_heads=cfg.num_heads, use_rel_pos=cfg.use_rel_pos,
             input_hw=attn_hw, dtype=self.dtype, param_dtype=self.param_dtype,
-            name="attn")(x)
-        if self.window_size > 0:
-            x = window_unpartition(x, self.window_size, pad_hw, hw)
+            name="attn")(
+                x, unpartition=((pad_hw, hw) if self.window_size > 0
+                                else None))
         x = shortcut + x
         y = nn.LayerNorm(epsilon=cfg.layer_norm_eps, dtype=jnp.float32,
                          param_dtype=self.param_dtype,
