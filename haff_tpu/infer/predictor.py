@@ -106,16 +106,25 @@ class Predictor:
             eos_id=self.tok.eos_token_id, quant_scales=scales,
             quant_dtype=dtype, kv_cache_8bit=kv_cache_8bit)
 
-    def __call__(self, image: np.ndarray, prompt: str
-                 ) -> Tuple[str, np.ndarray, np.ndarray, np.ndarray]:
+    def predict_batch(self, images, prompts):
+        """Batched inference: lists of RGB uint8 frames + text prompts ->
+        list of (answer, mask_left, mask_right, taxonomy) tuples, masks
+        at each frame's original resolution. One jitted evaluate per
+        call — the micro-batching entry used by infer.server (shapes are
+        static per batch size, so a serving deployment compiles once per
+        bucket)."""
         import jax.numpy as jnp
 
         from ..data.collate import Sample
         from ..nn.sam import resize_to_original
 
-        question = prompt if "<image>" in prompt else ("<image>\n" + prompt)
+        samples = [
+            Sample(image=img,
+                   question=(p if "<image>" in p else ("<image>\n" + p)),
+                   answer=None)
+            for img, p in zip(images, prompts)]
         batch = self._collate(
-            [Sample(image=image, question=question, answer=None)],
+            samples,
             self.tok, sam_image_size=self.cfg.sam_encoder.image_size,
             clip_image_size=self.cfg.clip.image_size,
             max_text_len=self.max_text_len, conv_type=self.conv_type,
@@ -126,15 +135,22 @@ class Predictor:
                          jnp.asarray(batch["images_clip"]),
                          jnp.asarray(batch["input_ids"]),
                          jnp.asarray(batch["attention_mask"]))
-        text = self.tok.decode(
-            [t for t in np.asarray(res.output_ids)[0]
-             [:int(res.gen_lengths[0])] if t >= 0])
-        rh, rw = batch["resizes"][0]
-        orig = image.shape[:2]
-        ml = resize_to_original(
-            np.asarray(res.pred_masks_left, np.float32)[0:1],
-            (rh, rw), orig)[0]
-        mr = resize_to_original(
-            np.asarray(res.pred_masks_right, np.float32)[0:1],
-            (rh, rw), orig)[0]
-        return text, ml, mr, np.asarray(res.taxonomies)[0]
+        out_ids = np.asarray(res.output_ids)
+        gen_lengths = np.asarray(res.gen_lengths)
+        ml_all = np.asarray(res.pred_masks_left, np.float32)
+        mr_all = np.asarray(res.pred_masks_right, np.float32)
+        tax_all = np.asarray(res.taxonomies)
+        results = []
+        for i, img in enumerate(images):
+            text = self.tok.decode(
+                [t for t in out_ids[i][:int(gen_lengths[i])] if t >= 0])
+            rh, rw = batch["resizes"][i]
+            orig = img.shape[:2]
+            ml = resize_to_original(ml_all[i:i + 1], (rh, rw), orig)[0]
+            mr = resize_to_original(mr_all[i:i + 1], (rh, rw), orig)[0]
+            results.append((text, ml, mr, tax_all[i]))
+        return results
+
+    def __call__(self, image: np.ndarray, prompt: str
+                 ) -> Tuple[str, np.ndarray, np.ndarray, np.ndarray]:
+        return self.predict_batch([image], [prompt])[0]
