@@ -75,6 +75,10 @@ def parse_args(argv=None):
     p.add_argument("--samples_per_epoch", type=int, default=10000)
     # optimization (reference defaults: train_ds.py:34-122)
     p.add_argument("--epochs", type=int, default=10)
+    p.add_argument("--workers", type=int, default=4,
+                   help="prefetch worker threads (reference "
+                   "train_ds.py --workers; the C++ host transforms "
+                   "release the GIL, so threads scale with cores)")
     p.add_argument("--steps_per_epoch", type=int, default=500)
     p.add_argument("--batch_size", type=int, default=2)
     p.add_argument("--grad_accum", type=int, default=10)
@@ -420,7 +424,8 @@ def main(argv=None):
                       ("loss", "ce_loss", "mask_bce_loss",
                        "mask_dice_loss", "taxonomy_ce_loss")}
             time_meter = AverageMeter("secs/batch")
-            loader = PrefetchLoader(make_batch, micro_per_epoch)
+            loader = PrefetchLoader(make_batch, micro_per_epoch,
+                                    num_workers=args.workers)
             t0 = time.time()
             for i, raw in enumerate(loader):
                 batch = TrainBatch(**{k: jnp.asarray(v)

@@ -242,3 +242,41 @@ def test_multiturn_vqa_supervision():
                       if l != IGNORE_INDEX and ids[i] >= 0])
     assert "A red mug." in sup and "On the table." in sup, sup
     assert "What is shown?" not in sup and "Where is it?" not in sup, sup
+
+
+def test_prefetch_loader_ordered_multiworker():
+    """Worker-pool loader delivers batches strictly in index order with
+    out-of-order completion, and bounds the build-ahead window."""
+    import threading
+    import time as _time
+
+    from haff_tpu.data.loader import PrefetchLoader
+
+    in_flight = []
+    lock = threading.Lock()
+
+    def make(i):
+        with lock:
+            in_flight.append(i)
+        _time.sleep(0.02 * ((i * 7) % 3))  # jitter completion order
+        return {"i": i}
+
+    out = [b["i"] for b in PrefetchLoader(make, 12, prefetch=2,
+                                          num_workers=3)]
+    assert out == list(range(12))
+
+
+def test_prefetch_loader_propagates_worker_error():
+    from haff_tpu.data.loader import PrefetchLoader
+
+    def make(i):
+        if i == 3:
+            raise ValueError("shard corrupt")
+        return {"i": i}
+
+    got = []
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="shard corrupt"):
+        for b in PrefetchLoader(make, 8, num_workers=2):
+            got.append(b["i"])
+    assert got == sorted(got)
