@@ -82,6 +82,15 @@ class MicroBatcher:
         self._stop.set()
         self._q.put(None)  # wake the dispatcher
         self._thread.join(timeout=5)
+        # fail any requests still queued so submitters don't hang
+        while True:
+            try:
+                r = self._q.get_nowait()
+            except queue.Empty:
+                break
+            if r is not None:
+                r.error = RuntimeError("server shutting down")
+                r.event.set()
 
     def _collect(self) -> List[_Request]:
         try:
