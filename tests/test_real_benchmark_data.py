@@ -80,3 +80,39 @@ def test_real_taxonomy_annotations_are_valid_one_hot(bench_dir):
             assert len(tax) == 4 and sum(tax) == 1, (vid, frame, tax)
             n += 1
     assert n > 0
+
+
+def test_inference_cli_end_to_end_on_real_frames(bench_dir, tmp_path):
+    """The full serving CLI (tiny random weights) over the real EPIC
+    frames: walker -> prompts -> evaluate -> threshold sweep -> PNG
+    layout, then the benchmark evaluator scores the produced folder —
+    the complete reference inference.py + calculate_iou.py protocol on
+    authentic data."""
+    import io
+    import json as _json
+    from contextlib import redirect_stdout
+
+    from haff_tpu.eval.benchmark import main as eval_main
+    from haff_tpu.infer.cli import main as infer_main
+
+    vis = str(tmp_path / "vis")
+    infer_main([
+        "--benchmark_dir", bench_dir, "--vis_save_path", vis,
+        "--model_preset", "tiny", "--batch", "4", "--max_new_tokens", "4",
+        "--max_text_len", "448", "--precision", "fp32",
+        "--thresholds", "0.5",
+    ])
+    produced = []
+    root = tmp_path / "vis0.5"
+    if root.is_dir():
+        produced = [p for p in root.rglob("aff_*.png")]
+    # random taxonomy may gate sides off, but across 11 real frames at
+    # least one mask must be written
+    assert produced, "CLI wrote no prediction masks"
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        eval_main(["--benchmark_dir", bench_dir, "--comparison_dir", vis,
+                   "--map", "--thresholds", "0.5"])
+    result = _json.loads(buf.getvalue())
+    assert result["best_threshold"] is not None
