@@ -219,7 +219,19 @@ def main():
     p.add_argument("--load_in_8bit", action="store_true")
     p.add_argument("--load_in_4bit", action="store_true")
     p.add_argument("--kv_cache_8bit", action="store_true")
+    p.add_argument("--compilation_cache",
+                   default="/tmp/haff_tpu_jit_cache",
+                   help="persistent XLA compilation cache dir (empty "
+                   "string disables); restarts skip the multi-minute "
+                   "flagship compile")
     args = p.parse_args()
+
+    if args.compilation_cache:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir",
+                          args.compilation_cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from .predictor import Predictor
 
