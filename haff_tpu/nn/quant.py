@@ -62,19 +62,86 @@ def quantized_matmul(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray
     return (y * scale).astype(x.dtype)
 
 
+def _w8a8_kernel(xq_ref, w_ref, sx_ref, sw_ref, o_ref):
+    acc = jax.lax.dot_general(
+        xq_ref[...], w_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    sx = sx_ref[...][:, :1]          # (BM, 1) f32 (col 0 of the tile)
+    sw = sw_ref[...][:1, :]          # (1, BN) f32 (row 0 of the pad-8)
+    o_ref[...] = (acc.astype(jnp.float32) * sx * sw).astype(o_ref.dtype)
+
+
+def pallas_int8_matmul(xq: jnp.ndarray, q: jnp.ndarray, s_x: jnp.ndarray,
+                       scale: jnp.ndarray, dtype=jnp.bfloat16,
+                       bm: int = 256, bn: int = 256,
+                       interpret: bool = False) -> jnp.ndarray:
+    """int8 x int8 -> int32 tiled Pallas matmul with fused dual rescale.
+
+    xq (M, K) int8 activations, q (K, N) int8 kernel, s_x (M, 1) f32
+    per-token activation scales, scale (N,) f32 per-channel weight
+    scales. Scale operands ride as sublane/lane-aligned tiles ((M, 128)
+    broadcast / (8, N) broadcast) because Mosaic blocks need 8/128-
+    aligned trailing dims; the broadcast traffic is ~0.1% of the weight
+    bytes."""
+    from jax.experimental import pallas as pl
+
+    M, K = xq.shape
+    N = q.shape[1]
+    mp = (-M) % bm
+    if mp:
+        xq = jnp.pad(xq, ((0, mp), (0, 0)))
+        s_x = jnp.pad(s_x, ((0, mp), (0, 0)), constant_values=1.0)
+    npad = (-N) % bn
+    if npad:
+        q = jnp.pad(q, ((0, 0), (0, npad)))
+        scale = jnp.pad(scale, (0, npad))
+    Mp, Np = M + mp, N + npad
+    sx_t = jnp.broadcast_to(s_x, (Mp, 128))
+    sw_t = jnp.broadcast_to(scale[None, :], (8, Np))
+    out = pl.pallas_call(
+        _w8a8_kernel,
+        grid=(Mp // bm, Np // bn),
+        in_specs=[
+            pl.BlockSpec((bm, K), lambda i, j: (i, 0)),
+            pl.BlockSpec((K, bn), lambda i, j: (0, j)),
+            pl.BlockSpec((bm, 128), lambda i, j: (i, 0)),
+            pl.BlockSpec((8, bn), lambda i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), dtype),
+        interpret=interpret,
+    )(xq, q, sx_t, sw_t)
+    return out[:M, :N]
+
+
 def int8_matmul(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray,
                 dtype=None) -> jnp.ndarray:
-    """W8A8 matmul on the int8 MXU path (2x the bf16 peak on v5e):
-    dynamic per-token symmetric activation quantization, int8 x int8 ->
-    int32 dot, then rescale by (act_scale * weight_scale).
+    """W8A8 matmul: dynamic per-token symmetric activation quantization,
+    int8 x int8 -> int32 dot, then rescale by (act_scale * weight_scale).
 
     x: (..., in) float; q: (in, out) int8 kernel; scale: (out,) f32
-    per-output-channel weight scales (from quantize_kernel)."""
+    per-output-channel weight scales (from quantize_kernel).
+
+    HAFF_INT8_PALLAS=1 routes the dot through the Pallas tiled kernel
+    (pallas_int8_matmul) instead of XLA's dot_general — measured A/B on
+    chip decides the default (see tools/mxu_bench.py notes: XLA's int8
+    dot does not raise the MXU rate on v5e)."""
+    import os
+
     dtype = dtype or x.dtype
     xf = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
     s_x = jnp.where(amax == 0, 1.0, amax / 127.0)
     xq = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
+    if (os.environ.get("HAFF_INT8_PALLAS") == "1" and xq.ndim >= 2
+            and q.shape[0] % 128 == 0):
+        lead = xq.shape[:-1]
+        y = pallas_int8_matmul(
+            xq.reshape(-1, q.shape[0]), q,
+            s_x.reshape(-1, 1).astype(jnp.float32),
+            scale.astype(jnp.float32), dtype=dtype,
+            interpret=jax.default_backend() not in ("tpu", "axon"))
+        return y.reshape(*lead, q.shape[1])
     y = jax.lax.dot_general(
         xq, q, (((xq.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)

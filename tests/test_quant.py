@@ -372,3 +372,20 @@ def test_random_quantized_like_int4_shapes():
     assert out["proj"]["kernel"].dtype == jnp.uint8
     assert out["proj"]["kernel"].shape == (64, 16)
     assert out["proj"]["scale"].shape == (2, 16)
+
+
+def test_pallas_int8_matmul_matches_xla_path(monkeypatch):
+    """HAFF_INT8_PALLAS=1 must be bit-compatible with the XLA W8A8 path
+    (same quantization, same rescale; only the dot moves into Pallas)."""
+    from haff_tpu.nn.quant import int8_matmul, quantize_kernel
+
+    rng = np.random.RandomState(3)
+    x = jnp.asarray(rng.randn(40, 128).astype(np.float32))
+    w = jnp.asarray(rng.randn(128, 48).astype(np.float32) * 0.05)
+    q, s = quantize_kernel(w)
+    ref = int8_matmul(x, q, s)
+    monkeypatch.setenv("HAFF_INT8_PALLAS", "1")
+    out = int8_matmul(x, q, s)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=1e-5, atol=1e-5)
