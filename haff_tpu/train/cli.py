@@ -417,6 +417,22 @@ def main(argv=None):
         logger.close()
         return
 
+    # Preemption handling: TPU pods get SIGTERM'd with a grace window.
+    # First signal -> finish the in-flight micro-step, checkpoint, exit 0
+    # (auto-resume picks the run back up — the reference's DeepSpeed run
+    # simply dies and loses the epoch). Second signal -> default action.
+    import signal
+
+    preempted = {"flag": False}
+
+    def _on_term(signum, frame):
+        preempted["flag"] = True
+        signal.signal(signal.SIGTERM, signal.SIG_DFL)
+        print("SIGTERM: checkpointing after the current step ...",
+              flush=True)
+
+    prev_term = signal.signal(signal.SIGTERM, _on_term)
+
     micro_per_epoch = args.steps_per_epoch * args.grad_accum
     with mesh:
         for epoch in range(start_epoch, args.epochs):
@@ -433,6 +449,15 @@ def main(argv=None):
                                       if k != "resizes"})
                 batch = shard_batch_tree(mesh, batch)
                 state, metrics = step_fn(state, frozen, batch, rng)
+                if os.environ.get("HAFF_TEST_PREEMPT_STEP") == str(i):
+                    os.kill(os.getpid(), signal.SIGTERM)  # test hook
+                if preempted["flag"]:
+                    save_checkpoint(ckpt_dir, int(state.step), state)
+                    print(f"preemption checkpoint at step "
+                          f"{int(state.step)}; exiting", flush=True)
+                    logger.close()
+                    signal.signal(signal.SIGTERM, prev_term)
+                    return
                 # Reference meter semantics (train_ds.py:556-620): every
                 # micro-step updates the meters; each print_freq window
                 # logs the windowed AVERAGE and resets.

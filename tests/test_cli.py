@@ -185,3 +185,31 @@ def test_train_cli_qlora_with_validation(synth_data, tmp_path):
     ])
     ckpt = tmp_path / "runs" / "q" / "ckpt_model"
     assert ckpt.is_dir() and any(ckpt.iterdir())
+
+
+def test_train_cli_preemption_checkpoint(synth_data, tmp_path, capsys):
+    """SIGTERM mid-epoch: the trainer finishes the in-flight step, writes
+    a checkpoint and returns cleanly (TPU-pod preemption handling; the
+    reference DeepSpeed run dies and loses the epoch)."""
+    import os as _os
+
+    from haff_tpu.train.cli import main
+
+    shards, bench = synth_data
+    _os.environ["HAFF_TEST_PREEMPT_STEP"] = "1"
+    try:
+        main([
+            "--dataset_dir", shards, "--val_benchmark_dir", bench,
+            "--model_preset", "tiny", "--epochs", "1",
+            "--steps_per_epoch", "50", "--batch_size", "2",
+            "--grad_accum", "1", "--lr", "1e-3", "--warmup_steps", "0",
+            "--model_max_length", "448",
+            "--log_base_dir", str(tmp_path / "runs"), "--exp_name", "p",
+            "--print_freq", "1", "--no_remat", "--no_eval",
+        ])
+    finally:
+        _os.environ.pop("HAFF_TEST_PREEMPT_STEP", None)
+    out = capsys.readouterr().out
+    assert "preemption checkpoint" in out
+    ckpt = tmp_path / "runs" / "p" / "ckpt_model"
+    assert ckpt.is_dir() and any(ckpt.iterdir())
