@@ -107,6 +107,16 @@ def main():
                       f"{type(e).__name__}: {str(e)[:200]}",
                       file=sys.stderr)
                 fps = None
+                msg = str(e)
+                if ("Unable to initialize backend" in msg
+                        or "UNAVAILABLE" in msg):
+                    # dead accelerator/tunnel: each retry waits out the
+                    # full claim timeout (~25 min observed) — bail with
+                    # the failure JSON instead of burning hours.
+                    print(json.dumps(dict(
+                        metric="affordance_mask_frames_per_sec_chip",
+                        value=0.0, unit="frames/s", vs_baseline=0.0)))
+                    return
         if fps is not None:
             break
     if fps is None:
