@@ -112,6 +112,41 @@ def main():
     except Exception as e:
         print(f"SKIP decode (compile): {type(e).__name__}: {str(e)[:120]}")
 
+    # --- natural-layout window kernel incl. odd window counts ---
+    from ..kernels.sam_attention import (_window_qkv_xla,
+                                         sam_window_attention_qkv)
+
+    for bw_ in (6, 5):
+        qkv = jnp.asarray(
+            rng.randn(bw_, 196, 3 * 1280).astype(np.float32) * 0.1,
+            jnp.bfloat16)
+        rel14 = jnp.asarray(rng.randn(27, 80).astype(np.float32) * 0.1)
+        try:
+            ours = sam_window_attention_qkv(qkv, rel14, rel14, (14, 14), 16)
+            ref = _window_qkv_xla(qkv, rel14, rel14, (14, 14), 16,
+                                  80 ** -0.5)
+            check(f"sam_window_qkv/bw{bw_}", ours, ref, 5e-2)
+        except Exception as e:
+            print(f"SKIP sam_window_qkv (compile): {type(e).__name__}")
+
+    # --- Pallas W8A8 matmul vs the XLA int8 path ---
+    from ..nn.quant import int8_matmul, pallas_int8_matmul, quantize_kernel
+
+    xm = jnp.asarray(rng.randn(300, 1280).astype(np.float32) * 0.5)
+    wm = jnp.asarray(rng.randn(1280, 512).astype(np.float32) * 0.02)
+    qm, sm = quantize_kernel(wm)
+    try:
+        xf = xm.astype(jnp.float32)
+        amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+        s_x = jnp.where(amax == 0, 1.0, amax / 127.0)
+        xq = jnp.clip(jnp.round(xf / s_x), -127, 127).astype(jnp.int8)
+        interp = jax.default_backend() not in ("tpu", "axon")
+        check("w8a8_pallas",
+              pallas_int8_matmul(xq, qm, s_x, sm, interpret=interp),
+              int8_matmul(xm, qm, sm, dtype=jnp.bfloat16), 1e-2)
+    except Exception as e:
+        print(f"SKIP w8a8_pallas (compile): {type(e).__name__}")
+
     if failures:
         print("FAILURES:", failures)
         sys.exit(1)
