@@ -24,6 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..kernels.flash_attention import flash_attention, mha_reference
+from .layers import QDense
 
 
 @dataclass(frozen=True)
@@ -98,9 +99,9 @@ class MptAttention(nn.Module):
         nh, hd = cfg.n_heads, cfg.head_dim
         nkv = 1 if cfg.multiquery else nh
 
-        fused = nn.Dense(cfg.d_model + 2 * nkv * hd, use_bias=False,
-                         dtype=self.dtype, param_dtype=self.param_dtype,
-                         name="Wqkv")(x)
+        fused = QDense(cfg.d_model + 2 * nkv * hd, use_bias=False,
+                       dtype=self.dtype, param_dtype=self.param_dtype,
+                       name="Wqkv")(x)
         if cfg.clip_qkv:
             # reference attention.py:332-333 qkv.clamp_(±clip_qkv)
             fused = jnp.clip(fused, -cfg.clip_qkv, cfg.clip_qkv)
@@ -185,8 +186,8 @@ class MptAttention(nn.Module):
                                       kv_segment_ids=segment_ids,
                                       causal=True)
         out = out.reshape(b, l, cfg.d_model)
-        out = nn.Dense(cfg.d_model, use_bias=False, dtype=self.dtype,
-                       param_dtype=self.param_dtype, name="out_proj")(out)
+        out = QDense(cfg.d_model, use_bias=False, dtype=self.dtype,
+                     param_dtype=self.param_dtype, name="out_proj")(out)
         return out, new_cache
 
 
@@ -210,12 +211,12 @@ class MptBlock(nn.Module):
                          prefix_mask)
         x = x + attn_out
         h = ln("norm_2")(x).astype(self.dtype)
-        h = nn.Dense(cfg.expansion_ratio * cfg.d_model, use_bias=False,
-                     dtype=self.dtype, param_dtype=self.param_dtype,
-                     name="up_proj")(h)
+        h = QDense(cfg.expansion_ratio * cfg.d_model, use_bias=False,
+                   dtype=self.dtype, param_dtype=self.param_dtype,
+                   name="up_proj")(h)
         h = nn.gelu(h, approximate=True)
-        h = nn.Dense(cfg.d_model, use_bias=False, dtype=self.dtype,
-                     param_dtype=self.param_dtype, name="down_proj")(h)
+        h = QDense(cfg.d_model, use_bias=False, dtype=self.dtype,
+                   param_dtype=self.param_dtype, name="down_proj")(h)
         return x + h, new_cache
 
 
