@@ -3,6 +3,7 @@
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from haff_tpu.nn.quant import (
     default_llm_predicate,
@@ -389,3 +390,40 @@ def test_pallas_int8_matmul_matches_xla_path(monkeypatch):
     np.testing.assert_allclose(np.asarray(out, np.float32),
                                np.asarray(ref, np.float32),
                                rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("bits", [8, 4])
+def test_quantized_serving_under_gspmd_mesh(bits):
+    """Quantized in-tree serving (W8A8 / W4A16) through the full jitted
+    evaluate under a multi-device mesh with a data-sharded batch —
+    BASELINE config 5's shape (sharded quantized inference). Quantized
+    kernels + scales replicate; the batch shards over the data axis."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_lisa_model import make_tiny_batch
+
+    from haff_tpu.core.config import MeshConfig, ModelConfig
+    from haff_tpu.core.mesh import build_mesh
+    from haff_tpu.infer.evaluate import make_jitted_evaluate
+    from haff_tpu.model.lisa import LisaModel
+    from haff_tpu.nn.quant import quantize_dense_tree
+    from haff_tpu.parallel.sharding import shard_batch_tree
+
+    cfg = ModelConfig.preset("tiny")
+    model = LisaModel(cfg=cfg)
+    batch = make_tiny_batch(cfg, b_img=2, b_conv=2)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+    inner = quantize_dense_tree(params["params"], default_llm_predicate,
+                                bits=bits, group=8)
+    mesh = build_mesh(MeshConfig(data=2, fsdp=1, tensor=2),
+                      devices=jax.devices()[:4])
+    ev = make_jitted_evaluate(model, max_new_tokens=3, eos_id=2)
+    with mesh:
+        sb = shard_batch_tree(
+            mesh, (batch.images_sam, batch.images_clip,
+                   batch.input_ids, batch.attention_mask))
+        res = ev({"params": inner}, *sb)
+    masks = np.asarray(res.pred_masks_left)
+    assert masks.shape[0] == 2
+    assert np.isfinite(masks).all()
