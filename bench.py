@@ -108,8 +108,10 @@ def main():
                       file=sys.stderr)
                 fps = None
                 msg = str(e)
-                if ("Unable to initialize backend" in msg
-                        or "UNAVAILABLE" in msg):
+                # bail ONLY on backend-init failure (dead tunnel/device);
+                # transient compile errors also carry UNAVAILABLE and
+                # must keep the retry/shrink path
+                if "Unable to initialize backend" in msg:
                     # dead accelerator/tunnel: each retry waits out the
                     # full claim timeout (~25 min observed) — bail with
                     # the failure JSON instead of burning hours.

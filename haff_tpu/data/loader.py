@@ -64,11 +64,13 @@ class PrefetchLoader:
     def __iter__(self) -> Iterator[dict]:
         while self._next_out < self.num_batches:
             with self._lock:
-                while (self._next_out not in self._results
-                       and self._err is None):
+                # deliver every in-order batch that IS built before
+                # surfacing a later batch's error (the single-producer
+                # loader delivered all pre-error batches; keep that)
+                while self._next_out not in self._results:
+                    if self._err is not None:
+                        raise self._err
                     self._ready.wait()
-                if self._err is not None:
-                    raise self._err
                 item = self._results.pop(self._next_out)
                 self._next_out += 1
                 self._ready.notify_all()

@@ -74,8 +74,21 @@ class Predictor:
                     os.path.join(checkpoint, "_CHECKPOINT_METADATA"))):
                 shapes = jax.eval_shape(
                     self.model.init, jax.random.PRNGKey(0), tb0)
-                self.params = {"params": restore_params_host(
-                    checkpoint, shapes["params"])}
+                host = restore_params_host(checkpoint, shapes["params"])
+                if dtype == jnp.bfloat16:
+                    # big float leaves (SAM/CLIP towers, embeddings) go
+                    # to the device in the compute dtype — the modules
+                    # cast to bf16 at use anyway, so this is compute-
+                    # identical at half the HBM (same rule as
+                    # nn.quant.random_quantized_like big_bf16)
+                    host = jax.tree_util.tree_map(
+                        lambda a: (a.astype(jnp.bfloat16)
+                                   if (hasattr(a, "dtype")
+                                       and np.issubdtype(a.dtype,
+                                                         np.floating)
+                                       and a.size > 1_000_000) else a),
+                        host)
+                self.params = {"params": host}
         if self.params is None:
             self.params = jax.jit(self.model.init)(jax.random.PRNGKey(0), tb0)
             if checkpoint:
@@ -101,6 +114,10 @@ class Predictor:
 
             self.params = quantize_dense_tree(
                 self.params, lisa_serving_predicate)
+        # place the serving tree on device ONCE: host-restored numpy
+        # leaves would otherwise re-upload host->device on EVERY
+        # evaluate call (gigabytes per request at flagship scale)
+        self.params = jax.device_put(self.params)
         self._eval = make_jitted_evaluate(
             self.model, max_new_tokens=max_new_tokens,
             eos_id=self.tok.eos_token_id, quant_scales=scales,

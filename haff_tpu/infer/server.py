@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import argparse
 import base64
+import collections
 import json
 import queue
 import threading
@@ -62,14 +63,24 @@ class MicroBatcher:
         self.max_wait = max_wait_ms / 1e3
         self._q: "queue.Queue[_Request]" = queue.Queue()
         self._stop = threading.Event()
-        self.batch_sizes: List[int] = []  # observed (for tests/metrics)
+        self._close_lock = threading.Lock()
+        self._closed = False
+        # recent observed batch sizes (bounded) + lifetime counters
+        self.batch_sizes = collections.deque(maxlen=4096)
+        self.total_requests = 0
+        self.total_batches = 0
         self._thread = threading.Thread(target=self._loop, daemon=True)
         self._thread.start()
 
     def submit(self, image: np.ndarray, prompt: str):
         """Blocking: enqueue and wait for this request's result."""
         r = _Request(image, prompt)
-        self._q.put(r)
+        with self._close_lock:
+            # serialized with close(): no request can slip in between
+            # the dispatcher join and the final queue drain
+            if self._closed:
+                raise RuntimeError("server shutting down")
+            self._q.put(r)
         r.event.wait()
         if r.error is not None:
             raise r.error
@@ -79,6 +90,8 @@ class MicroBatcher:
         return self._q.qsize()
 
     def close(self):
+        with self._close_lock:
+            self._closed = True
         self._stop.set()
         self._q.put(None)  # wake the dispatcher
         self._thread.join(timeout=5)
@@ -120,6 +133,8 @@ class MicroBatcher:
             if not batch:
                 continue
             self.batch_sizes.append(len(batch))
+            self.total_batches += 1
+            self.total_requests += len(batch)
             # pad to the bucket size by repeating the last request:
             # static shapes -> one compiled executable per bucket.
             pad = self.batch_size - len(batch)
@@ -142,11 +157,10 @@ def _now() -> float:
     return time.monotonic()
 
 
-def _png_b64(mask: np.ndarray, threshold: float) -> str:
+def _png_b64(binary: np.ndarray) -> str:
     import cv2
 
-    binary = ((mask > threshold) * 255).astype(np.uint8)
-    ok, buf = cv2.imencode(".png", binary)
+    ok, buf = cv2.imencode(".png", (binary * 255).astype(np.uint8))
     assert ok
     return base64.b64encode(buf.tobytes()).decode()
 
@@ -195,11 +209,22 @@ def make_handler(batcher: MicroBatcher):
             except Exception as e:
                 self._json(500, {"error": str(e)})
                 return
+            # sigmoid-then-threshold on the mask LOGITS + taxonomy
+            # gating (blank the inactive hand when the taxonomy says
+            # one-handed) — same protocol as app/chat/CLI (reference
+            # inference.py:278-313).
+            bl = (1.0 / (1.0 + np.exp(-ml)) > threshold).astype(np.uint8)
+            br = (1.0 / (1.0 + np.exp(-mr)) > threshold).astype(np.uint8)
+            t = int(np.argmax(np.asarray(tax)))
+            if t == 0:
+                br[:] = 0
+            elif t == 1:
+                bl[:] = 0
             self._json(200, {
                 "answer": text,
-                "taxonomy": [float(t) for t in np.asarray(tax)],
-                "mask_left": _png_b64(ml, threshold),
-                "mask_right": _png_b64(mr, threshold),
+                "taxonomy": [float(x) for x in np.asarray(tax)],
+                "mask_left": _png_b64(bl),
+                "mask_right": _png_b64(br),
             })
 
     return Handler

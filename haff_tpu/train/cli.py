@@ -452,7 +452,11 @@ def main(argv=None):
                 if os.environ.get("HAFF_TEST_PREEMPT_STEP") == str(i):
                     os.kill(os.getpid(), signal.SIGTERM)  # test hook
                 if preempted["flag"]:
-                    save_checkpoint(ckpt_dir, int(state.step), state)
+                    # keep 2: this mid-training state AND the best-IoU
+                    # checkpoint (max_to_keep=1 would garbage-collect
+                    # the best weights, losing the run's real artifact)
+                    save_checkpoint(ckpt_dir, int(state.step), state,
+                                    max_to_keep=2)
                     print(f"preemption checkpoint at step "
                           f"{int(state.step)}; exiting", flush=True)
                     logger.close()

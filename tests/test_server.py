@@ -23,6 +23,13 @@ def fake_predict(images, prompts):
     return out
 
 
+def test_submit_after_close_raises():
+    b = MicroBatcher(fake_predict, batch_size=2, max_wait_ms=5)
+    b.close()
+    with pytest.raises(RuntimeError, match="shutting down"):
+        b.submit(np.zeros((4, 4, 3), np.uint8), "late")
+
+
 def test_microbatcher_coalesces_and_fans_out():
     b = MicroBatcher(fake_predict, batch_size=4, max_wait_ms=80)
     results = {}
@@ -106,7 +113,14 @@ def test_http_roundtrip():
             np.frombuffer(base64.b64decode(out["mask_left"]), np.uint8),
             cv2.IMREAD_GRAYSCALE)
         assert mask.shape == (10, 12)
-        assert (mask == 255).all()  # 200/255 > 0.5 threshold everywhere
+        # logits 200/255 -> sigmoid 0.687 > 0.5 everywhere
+        assert (mask == 255).all()
+        # taxonomy [1,0,0,0] = left-only: the right mask is gated off
+        # (reference inference.py:278-313 protocol)
+        mask_r = cv2.imdecode(
+            np.frombuffer(base64.b64decode(out["mask_right"]), np.uint8),
+            cv2.IMREAD_GRAYSCALE)
+        assert (mask_r == 0).all()
 
         # bad request -> 400
         bad = urllib.request.Request(
