@@ -447,7 +447,16 @@ def _window_qkv_fwd(qkv, rel_h, rel_w, hw, nh, sm_scale, interpret):
     q_nat = qkv[:, :, :c].reshape(bw_, l, nh, d)
     bh, bw = _natural_band_tables(q_nat, rel_h, rel_w, hw, kp)
 
+    import os
+
+    # Default G=2 measured best at batch 24 (grid 600 windows: deeper
+    # pipelining beats bigger blocks). HAFF_WINDOW_GROUP overrides for
+    # A/B at other batch shapes — at batch 1 the grid is only 25 windows
+    # and per-step operand size, not pipeline depth, may dominate.
     group = 2 if jnp.dtype(qkv.dtype).itemsize <= 2 else 1
+    env_g = os.environ.get("HAFF_WINDOW_GROUP")
+    if env_g:
+        group = max(1, int(env_g))
     group = min(group, bw_)
     # Pad the window dim up to a group multiple rather than shrinking the
     # group: at batch 1 the per-image window count is odd (25 at grid 64 /

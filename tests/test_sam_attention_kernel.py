@@ -123,3 +123,27 @@ def test_window_qkv_kernel_odd_window_counts(bw):
     np.testing.assert_allclose(
         np.asarray(ours, np.float32), np.asarray(ref, np.float32),
         rtol=0.05, atol=0.02)
+
+
+@pytest.mark.parametrize("group", ["1", "4"])
+def test_window_qkv_kernel_group_override(group, monkeypatch):
+    """HAFF_WINDOW_GROUP (batch-shape A/B knob) must not change results —
+    only the grid grouping/padding."""
+    from haff_tpu.kernels.sam_attention import sam_window_attention_qkv
+
+    rng = np.random.RandomState(11)
+    nh, d = 2, 64
+    c = nh * d
+    wh = ww = 8
+    l = wh * ww
+    bw = 5
+    qkv = jnp.asarray(
+        rng.randn(bw, l, 3 * c).astype(np.float32) * 0.3, jnp.bfloat16)
+    rel_h = jnp.asarray(rng.randn(2 * wh - 1, d).astype(np.float32) * 0.05)
+    rel_w = jnp.asarray(rng.randn(2 * ww - 1, d).astype(np.float32) * 0.05)
+    base = sam_window_attention_qkv(qkv, rel_h, rel_w, (wh, ww), nh,
+                                    interpret=True)
+    monkeypatch.setenv("HAFF_WINDOW_GROUP", group)
+    ours = sam_window_attention_qkv(qkv, rel_h, rel_w, (wh, ww), nh,
+                                    interpret=True)
+    np.testing.assert_array_equal(np.asarray(base), np.asarray(ours))
