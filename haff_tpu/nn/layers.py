@@ -45,17 +45,14 @@ class QDense(nn.Module):
             if isinstance(raw, flax_meta.AxisMetadata):
                 raw = raw.unbox()
             if getattr(raw, "dtype", None) == jnp.uint8:
-                from .quant import dequantize_kernel_int4
+                from .quant import int4_matmul
 
                 scale = self.get_variable("params", "scale")
                 if isinstance(scale, flax_meta.AxisMetadata):
                     scale = scale.unbox()
                 group = (2 * raw.shape[0]) // scale.shape[0]
-                w = dequantize_kernel_int4(raw, scale, group=group,
-                                           dtype=self.dtype)
-                xc = x.astype(self.dtype)
-                y = jax.lax.dot_general(
-                    xc, w, (((xc.ndim - 1,), (0,)), ((), ())))
+                y = int4_matmul(x.astype(self.dtype), raw, scale,
+                                group=group, dtype=self.dtype)
                 if self.use_bias:
                     bias = self.param("bias", self.bias_init,
                                       (self.features,), self.param_dtype)

@@ -114,6 +114,108 @@ def pallas_int8_matmul(xq: jnp.ndarray, q: jnp.ndarray, s_x: jnp.ndarray,
     return out[:M, :N]
 
 
+def _w4a16_kernel(xa_ref, xb_ref, p_ref, sc_ref, o_ref, *, g2: int):
+    p = p_ref[...].astype(jnp.int32)            # (K2, bn) packed bytes
+    lo = p & 0xF
+    hi = (p >> 4) & 0xF
+    lo = jnp.where(lo > 7, lo - 16, lo)
+    hi = jnp.where(hi > 7, hi - 16, hi)
+    k2, bn = lo.shape
+    ng = k2 // g2
+    sc = sc_ref[...][:ng]                       # (ng, bn) f32 (sublane pad-8)
+    dt = xa_ref.dtype
+    wlo = (lo.reshape(ng, g2, bn) * sc[:, None, :]).reshape(k2, bn).astype(dt)
+    whi = (hi.reshape(ng, g2, bn) * sc[:, None, :]).reshape(k2, bn).astype(dt)
+    acc = jax.lax.dot_general(xa_ref[...], wlo, (((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32)
+    acc += jax.lax.dot_general(xb_ref[...], whi, (((1,), (0,)), ((), ())),
+                               preferred_element_type=jnp.float32)
+    o_ref[...] = acc.astype(o_ref.dtype)
+
+
+def pallas_int4_matmul(x: jnp.ndarray, packed: jnp.ndarray,
+                       scale: jnp.ndarray, group: int = 64,
+                       dtype=jnp.bfloat16, bm: int = 256, bn: int = 256,
+                       interpret: bool = False) -> jnp.ndarray:
+    """Fused W4A16 matmul: nibbles unpack INSIDE the kernel, so weight
+    HBM traffic stays packed-int4 (0.5 byte/elem). The XLA per-layer
+    dequant path (QDense uint8 branch) either re-dequantizes every scan
+    step or — if XLA hoists the loop-invariant dequant out of a decode
+    scan — materializes the full bf16 weight matrix; both lose int4's
+    traffic/footprint advantage exactly where it matters (13B decode is
+    weight-bound). Reference analog: bitsandbytes fused 4-bit CUDA
+    kernels (inference.py:133-156).
+
+    x (M, K) float activations; packed (K/2, N) uint8 with row r holding
+    K-rows 2r (lo nibble) / 2r+1 (hi nibble) — quantize_kernel_int4's
+    layout; scale (K/group, N) f32 group scales. The interleave never
+    happens on-chip: x splits even/odd K outside the kernel and the two
+    halves hit the MXU as separate dots against the lo/hi nibble planes
+    (rows 2r and 2r+1 share a group since group is even, so one expanded
+    scale tile serves both)."""
+    from jax.experimental import pallas as pl
+    from functools import partial
+
+    M, K = x.shape
+    K2, N = packed.shape
+    assert K == 2 * K2 and group % 16 == 0 and K % group == 0, (
+        x.shape, packed.shape, group)
+    g2 = group // 2
+    ng = K2 // g2
+    xa = x[:, 0::2].astype(dtype)               # (M, K2) even K-rows
+    xb = x[:, 1::2].astype(dtype)
+    bm = min(bm, M + (-M) % 8)
+    mp = (-M) % bm
+    if mp:
+        xa = jnp.pad(xa, ((0, mp), (0, 0)))
+        xb = jnp.pad(xb, ((0, mp), (0, 0)))
+    npad = (-N) % bn
+    if npad:
+        packed = jnp.pad(packed, ((0, 0), (0, npad)))
+        scale = jnp.pad(scale, ((0, 0), (0, npad)), constant_values=1.0)
+    gpad = (-ng) % 8                            # Mosaic sublane alignment
+    if gpad:
+        scale = jnp.pad(scale, ((0, gpad), (0, 0)), constant_values=1.0)
+    Mp, Np = M + mp, N + npad
+    out = pl.pallas_call(
+        partial(_w4a16_kernel, g2=g2),
+        grid=(Mp // bm, Np // bn),
+        in_specs=[
+            pl.BlockSpec((bm, K2), lambda i, j: (i, 0)),
+            pl.BlockSpec((bm, K2), lambda i, j: (i, 0)),
+            pl.BlockSpec((K2, bn), lambda i, j: (0, j)),
+            pl.BlockSpec((ng + gpad, bn), lambda i, j: (0, j)),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j)),
+        out_shape=jax.ShapeDtypeStruct((Mp, Np), dtype),
+        interpret=interpret,
+    )(xa, xb, packed, scale.astype(jnp.float32))
+    return out[:M, :N]
+
+
+def int4_matmul(x: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray,
+                group: int, dtype=None) -> jnp.ndarray:
+    """W4A16 matmul on a packed-int4 kernel. HAFF_INT4_PALLAS=1 routes
+    through the fused Pallas kernel (packed weight traffic); default is
+    the XLA per-layer dequant (unpack fuses into the dot's operand
+    load where XLA chooses to). Measured A/B on chip decides the
+    default, like HAFF_INT8_PALLAS."""
+    import os
+
+    dtype = dtype or x.dtype
+    if (os.environ.get("HAFF_INT4_PALLAS") == "1" and group % 16 == 0
+            and packed.shape[0] % max(group // 2, 8) == 0):
+        lead = x.shape[:-1]
+        y = pallas_int4_matmul(
+            x.reshape(-1, 2 * packed.shape[0]), packed, scale,
+            group=group, dtype=dtype,
+            interpret=jax.default_backend() not in ("tpu", "axon"))
+        return y.reshape(*lead, packed.shape[1])
+    w = dequantize_kernel_int4(packed, scale, group=group, dtype=dtype)
+    xc = x.astype(dtype)
+    return jax.lax.dot_general(xc, w, (((xc.ndim - 1,), (0,)), ((), ())))
+
+
 def int8_matmul(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray,
                 dtype=None) -> jnp.ndarray:
     """W8A8 matmul: dynamic per-token symmetric activation quantization,

@@ -392,6 +392,46 @@ def test_pallas_int8_matmul_matches_xla_path(monkeypatch):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_pallas_int4_matmul_matches_xla_path(monkeypatch):
+    """HAFF_INT4_PALLAS=1 (fused in-kernel nibble unpack) must match the
+    XLA per-layer-dequant W4A16 path: same group dequant, same bf16
+    weight rounding; only where the unpack happens moves."""
+    from haff_tpu.nn.quant import int4_matmul, quantize_kernel_int4
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(40, 256).astype(np.float32))
+    w = jnp.asarray(rng.randn(256, 72).astype(np.float32) * 0.05)
+    p, s = quantize_kernel_int4(w, group=64)
+    ref = int4_matmul(x.astype(jnp.bfloat16), p, s, group=64)
+    monkeypatch.setenv("HAFF_INT4_PALLAS", "1")
+    out = int4_matmul(x.astype(jnp.bfloat16), p, s, group=64)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_pallas_int4_qdense_in_tree(monkeypatch):
+    """QDense routes a packed-int4 kernel through the fused Pallas path
+    under the gate, with 3D (batch, seq, feat) inputs and bias."""
+    import flax.linen as nn
+
+    from haff_tpu.nn.layers import QDense
+    from haff_tpu.nn.quant import quantize_dense_tree
+
+    mod = QDense(48, dtype=jnp.bfloat16, param_dtype=jnp.float32)
+    x = jnp.asarray(np.random.RandomState(7).randn(2, 5, 128),
+                    jnp.bfloat16)
+    params = mod.init(jax.random.PRNGKey(0), x)["params"]
+    qtree = quantize_dense_tree({"d": params}, lambda k: True, bits=4)
+    ref = mod.apply({"params": qtree["d"]}, x)
+    monkeypatch.setenv("HAFF_INT4_PALLAS", "1")
+    out = mod.apply({"params": qtree["d"]}, x)
+    assert out.shape == (2, 5, 48)
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32),
+                               rtol=3e-2, atol=3e-2)
+
+
 @pytest.mark.parametrize("bits", [8, 4])
 def test_quantized_serving_under_gspmd_mesh(bits):
     """Quantized in-tree serving (W8A8 / W4A16) through the full jitted
