@@ -454,8 +454,8 @@ def _window_qkv_fwd(qkv, rel_h, rel_w, hw, nh, sm_scale, interpret):
     # A/B at other batch shapes — at batch 1 the grid is only 25 windows
     # and per-step operand size, not pipeline depth, may dominate.
     group = 2 if jnp.dtype(qkv.dtype).itemsize <= 2 else 1
-    env_g = os.environ.get("HAFF_WINDOW_GROUP")
-    if env_g:
+    env_g = os.environ.get("HAFF_WINDOW_GROUP", "")
+    if env_g.strip().isdigit():        # malformed values keep the default
         group = max(1, int(env_g))
     group = min(group, bw_)
     # Pad the window dim up to a group multiple rather than shrinking the

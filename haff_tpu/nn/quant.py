@@ -87,6 +87,8 @@ def pallas_int8_matmul(xq: jnp.ndarray, q: jnp.ndarray, s_x: jnp.ndarray,
 
     M, K = xq.shape
     N = q.shape[1]
+    if M == 0:
+        return jnp.zeros((0, N), dtype)
     mp = (-M) % bm
     if mp:
         xq = jnp.pad(xq, ((0, mp), (0, 0)))
@@ -114,12 +116,20 @@ def pallas_int8_matmul(xq: jnp.ndarray, q: jnp.ndarray, s_x: jnp.ndarray,
     return out[:M, :N]
 
 
-def _w4a16_kernel(xa_ref, xb_ref, p_ref, sc_ref, o_ref, *, g2: int):
-    p = p_ref[...].astype(jnp.int32)            # (K2, bn) packed bytes
+def _unpack_int4(p: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Packed bytes -> (lo, hi) signed int32 nibble planes (the inverse
+    of quantize_kernel_int4's `lo | hi << 4`). Shared by the XLA dequant
+    and the Pallas kernel so the packing convention lives in one place."""
+    p = p.astype(jnp.int32)
     lo = p & 0xF
     hi = (p >> 4) & 0xF
     lo = jnp.where(lo > 7, lo - 16, lo)
     hi = jnp.where(hi > 7, hi - 16, hi)
+    return lo, hi
+
+
+def _w4a16_kernel(xa_ref, xb_ref, p_ref, sc_ref, o_ref, *, g2: int):
+    lo, hi = _unpack_int4(p_ref[...])           # (K2, bn) nibble planes
     k2, bn = lo.shape
     ng = k2 // g2
     sc = sc_ref[...][:ng]                       # (ng, bn) f32 (sublane pad-8)
@@ -162,9 +172,11 @@ def pallas_int4_matmul(x: jnp.ndarray, packed: jnp.ndarray,
         x.shape, packed.shape, group)
     g2 = group // 2
     ng = K2 // g2
+    if M == 0:
+        return jnp.zeros((0, N), dtype)
     xa = x[:, 0::2].astype(dtype)               # (M, K2) even K-rows
     xb = x[:, 1::2].astype(dtype)
-    bm = min(bm, M + (-M) % 8)
+    bm = min(bm, max(8, M + (-M) % 8))
     mp = (-M) % bm
     if mp:
         xa = jnp.pad(xa, ((0, mp), (0, 0)))
@@ -204,7 +216,7 @@ def int4_matmul(x: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray,
 
     dtype = dtype or x.dtype
     if (os.environ.get("HAFF_INT4_PALLAS") == "1" and group % 16 == 0
-            and packed.shape[0] % max(group // 2, 8) == 0):
+            and packed.shape[0] % (group // 2) == 0):
         lead = x.shape[:-1]
         y = pallas_int4_matmul(
             x.reshape(-1, 2 * packed.shape[0]), packed, scale,
@@ -291,11 +303,7 @@ def dequantize_kernel_int4(packed: jnp.ndarray, scale: jnp.ndarray,
                            ) -> jnp.ndarray:
     """Inverse of quantize_kernel_int4; runs inside jit (unpack + scale
     fuse into the consuming matmul's operand load)."""
-    p = packed.astype(jnp.int32)
-    lo = p & 0xF
-    hi = (p >> 4) & 0xF
-    lo = jnp.where(lo > 7, lo - 16, lo)
-    hi = jnp.where(hi > 7, hi - 16, hi)
+    lo, hi = _unpack_int4(packed)
     din2, dout = packed.shape
     q = jnp.stack([lo, hi], axis=1).reshape(2 * din2, dout)
     q = q.reshape(scale.shape[0], group, dout).astype(jnp.float32)
