@@ -61,11 +61,19 @@ def splice_image_embeddings(
     tok_idx = jnp.clip(tok_idx, 0, l - 1)
     img_idx = jnp.clip(j - pos, 0, p - 1)
 
-    gathered_tok = jnp.take_along_axis(
-        token_embeds, tok_idx[..., None], axis=1)
-    gathered_img = jnp.take_along_axis(
-        image_features, img_idx[..., None], axis=1)
-    embeds = jnp.where(in_image[..., None], gathered_img, gathered_tok)
+    # The two differentiable gathers run as one-hot contractions: a
+    # take_along_axis backward is a scatter-add, which GSPMD shards by
+    # involuntary full rematerialization (replicate + repartition the
+    # whole embedding grad across the mesh); the einsum's backward is
+    # another einsum (MXU work, ~0.05% of the LLM forward FLOPs), and
+    # single-nonzero selector rows make it exact. Integer gathers
+    # (ids/labels/mask) keep take_along_axis — no gradient flows there.
+    sel_tok = ((tok_idx[..., None] == jnp.arange(l)[None, None, :])
+               & ~in_image[..., None]).astype(token_embeds.dtype)
+    sel_img = ((img_idx[..., None] == jnp.arange(p)[None, None, :])
+               & in_image[..., None]).astype(image_features.dtype)
+    embeds = (jnp.einsum("bjl,ble->bje", sel_tok, token_embeds)
+              + jnp.einsum("bjp,bpe->bje", sel_img, image_features))
 
     gathered_ids = jnp.take_along_axis(input_ids, tok_idx, axis=1)
 
@@ -116,6 +124,13 @@ def gather_seg_embeddings(hidden: jnp.ndarray, seg_token_mask: jnp.ndarray,
         hit = seg_token_mask & (rank == s)
         idx = idx.at[:, s].set(jnp.argmax(hit, axis=1))
         valid = valid.at[:, s].set(hit.any(axis=1))
-    emb = jnp.take_along_axis(hidden, idx[..., None], axis=1)
+    # One-hot contraction instead of take_along_axis: the gather's
+    # backward is a scatter-add, which GSPMD can only shard by fully
+    # rematerializing the operand (observed "Involuntary full
+    # rematerialization" warnings in the multichip dryrun); the einsum's
+    # backward is another einsum, and single-nonzero rows make it exact.
+    one_hot = (jnp.arange(l)[None, None, :] == idx[..., None]  # (B,S,L)
+               ).astype(hidden.dtype)
+    emb = jnp.einsum("bsl,bld->bsd", one_hot, hidden)
     emb = emb * valid[..., None]
     return emb, valid
