@@ -34,9 +34,15 @@ def load_library() -> Optional[ctypes.CDLL]:
     try:
         if (not os.path.exists(so)
                 or os.path.getmtime(so) < os.path.getmtime(src)):
-            subprocess.run(
-                ["g++", "-O3", "-fPIC", "-shared", src, "-o", so],
-                check=True, capture_output=True)
+            try:
+                subprocess.run(
+                    ["g++", "-O3", "-march=native", "-fPIC", "-shared",
+                     src, "-o", so],
+                    check=True, capture_output=True)
+            except subprocess.CalledProcessError:
+                subprocess.run(
+                    ["g++", "-O3", "-fPIC", "-shared", src, "-o", so],
+                    check=True, capture_output=True)
         lib = ctypes.CDLL(so)
         lib.sam_preprocess_f32.restype = ctypes.c_int
         _LIB = lib

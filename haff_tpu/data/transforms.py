@@ -39,7 +39,21 @@ def resize_longest_side(image: np.ndarray, long_side: int) -> np.ndarray:
 
 def sam_preprocess(image: np.ndarray, image_size: int = 1024):
     """uint8 RGB (H, W, 3) -> (image_size, image_size, 3) f32 normalized +
-    zero-padded bottom/right; returns (canvas, (resize_h, resize_w))."""
+    zero-padded bottom/right; returns (canvas, (resize_h, resize_w)).
+
+    HAFF_NATIVE_PREPROCESS=1 dispatches to the fused C++ path
+    (runtime/haff_host.cpp) for hosts where the loader starves the chip.
+    Its resampling is cv2.INTER_LINEAR-style (no antialias), so downscale
+    pixels differ slightly from the PIL/torchvision default — keep the
+    default for checkpoint-parity evaluation."""
+    import os
+
+    if os.environ.get("HAFF_NATIVE_PREPROCESS") == "1" and image.dtype == np.uint8:
+        from . import native
+
+        if native.available():
+            return native.sam_preprocess_native(image, image_size,
+                                                PIXEL_MEAN, PIXEL_STD)
     resized = resize_longest_side(image, image_size).astype(np.float32)
     resized = (resized - PIXEL_MEAN) / PIXEL_STD
     h, w = resized.shape[:2]

@@ -53,23 +53,54 @@ void resize_bilinear_u8(const uint8_t* src, int h, int w,
 // Fused SAM preprocess: resize longest side to `canvas`, normalize with
 // (mean, std), zero-pad bottom/right into a canvas x canvas x 3 f32
 // buffer. Returns packed (resize_h << 16) | resize_w.
+//
+// Single pass — resample, quantize to the uint8 grid (keeps the result
+// on the same lattice as the two-pass resize-then-normalize reference),
+// normalize, and store; column sample positions/weights are precomputed
+// once instead of per row, and only the padding region is zeroed.
 int sam_preprocess_f32(const uint8_t* src, int h, int w, int canvas,
                        const float* mean, const float* stdv, float* out) {
   float scale = (float)canvas / (h > w ? h : w);
   int rh = (int)(h * scale + 0.5f);
   int rw = (int)(w * scale + 0.5f);
-  std::vector<uint8_t> tmp((size_t)rh * rw * 3);
-  resize_bilinear_u8(src, h, w, tmp.data(), rh, rw);
-  std::memset(out, 0, sizeof(float) * (size_t)canvas * canvas * 3);
-  for (int y = 0; y < rh; ++y) {
-    const uint8_t* row = tmp.data() + (size_t)y * rw * 3;
-    float* orow = out + (size_t)y * canvas * 3;
-    for (int x = 0; x < rw; ++x) {
+  const float sy = (float)h / rh;
+  const float sx = (float)w / rw;
+  std::vector<int> x0s(rw), x1s(rw);
+  std::vector<float> wxs(rw);
+  for (int ox = 0; ox < rw; ++ox) {
+    float fx = (ox + 0.5f) * sx - 0.5f;
+    int x0 = (int)std::floor(fx);
+    wxs[ox] = fx - x0;
+    x1s[ox] = std::min(std::max(x0 + 1, 0), w - 1) * 3;
+    x0s[ox] = std::min(std::max(x0, 0), w - 1) * 3;
+  }
+  const float inv_std[3] = {1.0f / stdv[0], 1.0f / stdv[1], 1.0f / stdv[2]};
+  for (int oy = 0; oy < rh; ++oy) {
+    float fy = (oy + 0.5f) * sy - 0.5f;
+    int y0 = (int)std::floor(fy);
+    float wy = fy - y0;
+    int y1 = std::min(std::max(y0 + 1, 0), h - 1);
+    y0 = std::min(std::max(y0, 0), h - 1);
+    const uint8_t* r0 = src + (size_t)y0 * w * 3;
+    const uint8_t* r1 = src + (size_t)y1 * w * 3;
+    float* orow = out + (size_t)oy * canvas * 3;
+    for (int ox = 0; ox < rw; ++ox) {
+      const int x0 = x0s[ox], x1 = x1s[ox];
+      const float wx = wxs[ox];
+      const float w00 = (1 - wy) * (1 - wx), w01 = (1 - wy) * wx;
+      const float w10 = wy * (1 - wx), w11 = wy * wx;
       for (int c = 0; c < 3; ++c) {
-        orow[x * 3 + c] = ((float)row[x * 3 + c] - mean[c]) / stdv[c];
+        float v = r0[x0 + c] * w00 + r0[x1 + c] * w01 +
+                  r1[x0 + c] * w10 + r1[x1 + c] * w11;
+        orow[ox * 3 + c] =
+            ((float)std::lround(v) - mean[c]) * inv_std[c];
       }
     }
+    std::memset(orow + (size_t)rw * 3, 0,
+                sizeof(float) * (size_t)(canvas - rw) * 3);
   }
+  std::memset(out + (size_t)rh * canvas * 3, 0,
+              sizeof(float) * (size_t)(canvas - rh) * canvas * 3);
   return (rh << 16) | rw;
 }
 

@@ -45,3 +45,15 @@ def test_fill_polygon_convex():
     assert out[10, 10] == 1 and out[2, 2] == 0
     # interior area approximately (20-4)^2
     assert abs(int(out.sum()) - 16 * 16) <= 2 * 16 + 4
+
+
+def test_env_dispatch_selects_native(monkeypatch):
+    from haff_tpu.nn.sam import PIXEL_MEAN, PIXEL_STD
+
+    rng = np.random.RandomState(2)
+    img = rng.randint(0, 255, (90, 140, 3), np.uint8)
+    monkeypatch.setenv("HAFF_NATIVE_PREPROCESS", "1")
+    out, hw = sam_preprocess(img, 256)
+    ref, hw2 = native.sam_preprocess_native(img, 256, PIXEL_MEAN, PIXEL_STD)
+    assert tuple(hw) == tuple(hw2)
+    np.testing.assert_array_equal(out, ref)
