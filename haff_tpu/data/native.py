@@ -75,6 +75,29 @@ def sam_preprocess_native(image: np.ndarray, image_size: int,
     return out, (packed >> 16, packed & 0xFFFF)
 
 
+def clip_preprocess_native(image: np.ndarray, image_size: int,
+                           mean, std) -> np.ndarray:
+    """Fused bicubic short-side resize + center crop + normalize (C++).
+
+    PIL-exact resampling (antialias, window-clipped taps, separable
+    passes with intermediate uint8 rounding) — matches the PIL parity
+    path to 1 LSB of fixed-point rounding."""
+    lib = load_library()
+    assert lib is not None
+    img = np.ascontiguousarray(image, np.uint8)
+    h, w = img.shape[:2]
+    out = np.empty((image_size, image_size, 3), np.float32)
+    mean = np.ascontiguousarray(mean, np.float32)
+    std = np.ascontiguousarray(std, np.float32)
+    lib.clip_preprocess_f32(
+        img.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        ctypes.c_int(h), ctypes.c_int(w), ctypes.c_int(image_size),
+        mean.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        std.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
+    return out
+
+
 def mask_to_canvas_native(mask: np.ndarray, resize_hw: Tuple[int, int],
                           image_size: int) -> np.ndarray:
     lib = load_library()

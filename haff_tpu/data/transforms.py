@@ -67,7 +67,21 @@ def clip_preprocess(image: np.ndarray, image_size: int = 224) -> np.ndarray:
     semantics: PIL-bicubic resize of the SHORT side to image_size (the
     long side is int-TRUNCATED, matching transformers'
     get_resize_output_image_size), center crop, scale 1/255, normalize
-    with CLIP stats."""
+    with CLIP stats.
+
+    HAFF_NATIVE_PREPROCESS=1 dispatches to the fused C++ path, which
+    reproduces PIL's resampler (antialias, separable passes with
+    intermediate uint8 rounding) and resamples only crop-region output
+    pixels; agreement is within 1 LSB of PIL's fixed-point rounding."""
+    import os
+
+    if (os.environ.get("HAFF_NATIVE_PREPROCESS") == "1"
+            and image.dtype == np.uint8):
+        from . import native
+
+        if native.available():
+            return native.clip_preprocess_native(image, image_size,
+                                                 CLIP_MEAN, CLIP_STD)
     from PIL import Image
 
     h, w = image.shape[:2]

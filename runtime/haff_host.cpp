@@ -104,6 +104,114 @@ int sam_preprocess_f32(const uint8_t* src, int h, int w, int canvas,
   return (rh << 16) | rw;
 }
 
+// Fused CLIP preprocess: bicubic short-side resize to `size`, center
+// crop, scale 1/255, normalize. Resampling reproduces PIL's convolution
+// resampler (Catmull-Rom a=-0.5, antialias support widening on
+// downscale, window-clipped renormalized border taps, separable passes
+// with intermediate uint8 rounding — Pillow Resample.c), so pixels match
+// the PIL/HF-CLIPImageProcessor parity path to fixed-point rounding.
+// Only the crop-region output pixels are resampled. The long side uses
+// int-TRUNCATED scaling, matching transformers'
+// get_resize_output_image_size (reference mm_utils/CLIPImageProcessor).
+static inline double bicubic_filter(double x) {
+  const double a = -0.5;
+  if (x < 0) x = -x;
+  if (x < 1.0) return ((a + 2.0) * x - (a + 3.0)) * x * x + 1.0;
+  if (x < 2.0) return (((x - 5.0) * x + 8.0) * x - 4.0) * a;
+  return 0.0;
+}
+
+// PIL-style tap windows for one axis: output pixels [crop0, crop0+n) of
+// a `scale`-downsampled axis of length in_size. Weights per output pixel
+// are stored in a dense (n, kmax) table; count[i] gives the live taps.
+static int pil_taps(int in_size, int crop0, int n, double scale,
+                    std::vector<int>& first, std::vector<int>& count,
+                    std::vector<float>& weights) {
+  const double filterscale = scale < 1.0 ? 1.0 : scale;
+  const double support = 2.0 * filterscale;  // bicubic support = 2
+  const int kmax = (int)std::ceil(support) * 2 + 1;
+  first.resize(n);
+  count.resize(n);
+  weights.assign((size_t)n * kmax, 0.0f);
+  std::vector<double> ww(kmax);
+  for (int i = 0; i < n; ++i) {
+    const double center = (i + crop0 + 0.5) * scale;
+    int x0 = (int)(center - support + 0.5);
+    if (x0 < 0) x0 = 0;
+    int x1 = (int)(center + support + 0.5);
+    if (x1 > in_size) x1 = in_size;
+    const int cnt = x1 - x0;
+    double sum = 0.0;
+    for (int k = 0; k < cnt; ++k) {
+      ww[k] = bicubic_filter((k + x0 - center + 0.5) / filterscale);
+      sum += ww[k];
+    }
+    first[i] = x0;
+    count[i] = cnt;
+    for (int k = 0; k < cnt; ++k)
+      weights[(size_t)i * kmax + k] = (float)(sum != 0.0 ? ww[k] / sum : 0.0);
+  }
+  return kmax;
+}
+
+static inline uint8_t clip8(float v) {
+  long r = std::lround(v);
+  return (uint8_t)(r < 0 ? 0 : (r > 255 ? 255 : r));
+}
+
+void clip_preprocess_f32(const uint8_t* src, int h, int w, int size,
+                         const float* mean, const float* stdv, float* out) {
+  int nh, nw;
+  if (h <= w) { nh = size; nw = (int)((float)size * w / h); }
+  else        { nw = size; nh = (int)((float)size * h / w); }
+  const int top = (nh - size) / 2, left = (nw - size) / 2;
+
+  std::vector<int> xf, xc, yf, yc;
+  std::vector<float> xw, yw;
+  const int kx = pil_taps(w, left, size, (double)w / nw, xf, xc, xw);
+  const int ky = pil_taps(h, top, size, (double)h / nh, yf, yc, yw);
+
+  // Horizontal pass over all input rows (vertical taps span them), with
+  // PIL's intermediate rounding to uint8.
+  std::vector<uint8_t> tmp((size_t)h * size * 3);
+  for (int y = 0; y < h; ++y) {
+    const uint8_t* row = src + (size_t)y * w * 3;
+    uint8_t* trow = &tmp[(size_t)y * size * 3];
+    for (int ox = 0; ox < size; ++ox) {
+      const float* wx = &xw[(size_t)ox * kx];
+      const uint8_t* p = row + xf[ox] * 3;
+      float acc0 = 0.f, acc1 = 0.f, acc2 = 0.f;
+      for (int k = 0; k < xc[ox]; ++k) {
+        const float wk = wx[k];
+        acc0 += wk * p[k * 3 + 0];
+        acc1 += wk * p[k * 3 + 1];
+        acc2 += wk * p[k * 3 + 2];
+      }
+      trow[ox * 3 + 0] = clip8(acc0);
+      trow[ox * 3 + 1] = clip8(acc1);
+      trow[ox * 3 + 2] = clip8(acc2);
+    }
+  }
+
+  const float inv[3] = {1.0f / (255.0f * stdv[0]), 1.0f / (255.0f * stdv[1]),
+                        1.0f / (255.0f * stdv[2])};
+  const float bias[3] = {mean[0] / stdv[0], mean[1] / stdv[1],
+                         mean[2] / stdv[2]};
+  for (int oy = 0; oy < size; ++oy) {
+    const float* wy = &yw[(size_t)oy * ky];
+    float* orow = out + (size_t)oy * size * 3;
+    for (int ox = 0; ox < size; ++ox) {
+      for (int c = 0; c < 3; ++c) {
+        float acc = 0.f;
+        const uint8_t* p = &tmp[((size_t)yf[oy] * size + ox) * 3 + c];
+        for (int k = 0; k < yc[oy]; ++k)
+          acc += wy[k] * p[(size_t)k * size * 3];
+        orow[ox * 3 + c] = clip8(acc) * inv[c] - bias[c];
+      }
+    }
+  }
+}
+
 // Nearest resize of a binary uint8 mask + placement on a zeroed square
 // f32 canvas (mask_to_canvas analog).
 void mask_to_canvas_f32(const uint8_t* src, int h, int w, int rh, int rw,

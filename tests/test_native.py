@@ -27,6 +27,39 @@ def test_sam_preprocess_matches_cv2():
     np.testing.assert_array_equal(out[resize[0]:], ref[resize_ref[0]:])
 
 
+def test_clip_preprocess_matches_pil():
+    from haff_tpu.nn.clip_vit import CLIP_MEAN, CLIP_STD
+    from haff_tpu.data.transforms import clip_preprocess
+
+    rng = np.random.RandomState(3)
+    # PIL resamples in fixed point (22-bit coefficients, per-pass uint8
+    # rounding); the native float path may differ by 1 LSB of the uint8
+    # scale after normalization (std ~0.26 -> 1/255/0.26 ~ 0.015).
+    tol = 1.5 / 255.0 / 0.26
+    # upscale
+    small = rng.randint(0, 255, (50, 70, 3), np.uint8)
+    ref = clip_preprocess(small, 96)
+    out = native.clip_preprocess_native(small, 96, CLIP_MEAN, CLIP_STD)
+    assert np.abs(out - ref).max() < tol, np.abs(out - ref).max()
+    # downscale (PIL widens filter support; native reproduces it)
+    big = rng.randint(0, 255, (300, 400, 3), np.uint8)
+    ref = clip_preprocess(big, 96)
+    out = native.clip_preprocess_native(big, 96, CLIP_MEAN, CLIP_STD)
+    assert np.abs(out - ref).max() < tol, np.abs(out - ref).max()
+
+
+def test_env_dispatch_selects_native_clip(monkeypatch):
+    from haff_tpu.nn.clip_vit import CLIP_MEAN, CLIP_STD
+    from haff_tpu.data.transforms import clip_preprocess
+
+    rng = np.random.RandomState(4)
+    img = rng.randint(0, 255, (80, 120, 3), np.uint8)
+    monkeypatch.setenv("HAFF_NATIVE_PREPROCESS", "1")
+    out = clip_preprocess(img, 64)
+    ref = native.clip_preprocess_native(img, 64, CLIP_MEAN, CLIP_STD)
+    np.testing.assert_array_equal(out, ref)
+
+
 def test_mask_to_canvas_matches_cv2():
     rng = np.random.RandomState(1)
     mask = (rng.rand(60, 90) > 0.6).astype(np.uint8)
