@@ -4,3 +4,7 @@ from .sharding import (  # noqa: F401
     param_shardings,
     shard_batch_tree,
 )
+from .ring_attention import (  # noqa: F401
+    ring_attention,
+    sequence_sharded_attention,
+)
