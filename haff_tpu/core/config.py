@@ -65,6 +65,11 @@ class LlamaConfig:
     lora_alpha: float = 16.0
     lora_dropout: float = 0.05
     lora_targets: Tuple[str, ...] = ("q_proj", "v_proj")
+    # Sequence parallelism: when True and the ambient mesh has an "sp"
+    # axis of size > 1, train/prefill attention runs as ring attention
+    # with the sequence sharded over that axis
+    # (parallel/ring_attention.py). Beyond-parity long-context scaling.
+    sequence_parallel: bool = False
 
     @staticmethod
     def preset(name: str) -> "LlamaConfig":
@@ -224,10 +229,12 @@ class LoraConfig:
 
 @dataclass(frozen=True)
 class MeshConfig:
-    """Device mesh layout. Axes: data (DP/ZeRO), fsdp (param shard), tensor (TP)."""
+    """Device mesh layout. Axes: data (DP/ZeRO), fsdp (param shard),
+    sp (sequence parallelism / ring attention), tensor (TP)."""
 
     data: int = -1  # -1: fill with remaining devices
     fsdp: int = 1
+    sp: int = 1
     tensor: int = 1
 
 

@@ -27,33 +27,36 @@ from .config import MeshConfig
 
 DATA_AXIS = "data"
 FSDP_AXIS = "fsdp"
+SP_AXIS = "sp"
 TENSOR_AXIS = "tensor"
-AXES = (DATA_AXIS, FSDP_AXIS, TENSOR_AXIS)
+AXES = (DATA_AXIS, FSDP_AXIS, SP_AXIS, TENSOR_AXIS)
 
 
 def build_mesh(cfg: MeshConfig = MeshConfig(),
                devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
-    """Build a 3-axis mesh, filling the `data` axis with leftover devices."""
+    """Build a 4-axis mesh, filling the `data` axis with leftover devices."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     fsdp = max(1, cfg.fsdp)
+    sp = max(1, getattr(cfg, "sp", 1))
     tensor = max(1, cfg.tensor)
     if cfg.data == -1:
-        if n % (fsdp * tensor) != 0:
+        if n % (fsdp * sp * tensor) != 0:
             raise ValueError(
-                f"{n} devices not divisible by fsdp*tensor={fsdp * tensor}")
-        data = n // (fsdp * tensor)
+                f"{n} devices not divisible by fsdp*sp*tensor="
+                f"{fsdp * sp * tensor}")
+        data = n // (fsdp * sp * tensor)
     else:
         data = cfg.data
-    if data * fsdp * tensor != n:
+    if data * fsdp * sp * tensor != n:
         raise ValueError(
-            f"mesh {data}x{fsdp}x{tensor} != {n} devices")
-    arr = np.array(devices).reshape(data, fsdp, tensor)
+            f"mesh {data}x{fsdp}x{sp}x{tensor} != {n} devices")
+    arr = np.array(devices).reshape(data, fsdp, sp, tensor)
     return Mesh(arr, AXES)
 
 
 def single_device_mesh() -> Mesh:
-    return Mesh(np.array(jax.devices()[:1]).reshape(1, 1, 1), AXES)
+    return Mesh(np.array(jax.devices()[:1]).reshape(1, 1, 1, 1), AXES)
 
 
 _MESH_STACK: list[Mesh] = []
@@ -71,6 +74,25 @@ def use_mesh(mesh: Mesh):
 
 def current_mesh() -> Optional[Mesh]:
     return _MESH_STACK[-1] if _MESH_STACK else None
+
+
+def ambient_mesh() -> Optional[Mesh]:
+    """The mesh in effect at trace time: the use_mesh() stack first, then
+    the `with mesh:` context (thread resources). Lets modules (e.g.
+    sequence-parallel attention) discover the mesh without plumbing it
+    through every call signature."""
+    m = current_mesh()
+    if m is not None:
+        return m
+    try:
+        from jax._src.mesh import thread_resources
+
+        pm = thread_resources.env.physical_mesh
+        if pm is not None and not getattr(pm, "empty", True):
+            return pm
+    except Exception:
+        return None
+    return None
 
 
 def shard(x, mesh: Mesh, spec: P):

@@ -187,12 +187,52 @@ class LlamaAttention(nn.Module):
                 rep = nh // nkv
                 k = jnp.repeat(k, rep, axis=2)
                 v = jnp.repeat(v, rep, axis=2)
-            out = flash_attention(q, k, v, q_segment_ids=segment_ids,
-                                  kv_segment_ids=segment_ids, causal=True)
+            out = None
+            if cfg.sequence_parallel and kv_cache is None:
+                out = self._ring_attention(q, k, v, segment_ids)
+            if out is None:
+                out = flash_attention(q, k, v, q_segment_ids=segment_ids,
+                                      kv_segment_ids=segment_ids,
+                                      causal=True)
 
         out = out.reshape(b, l, nh * hd)
         out = proj(out, "o_proj", cfg.hidden_size, (HEADS, EMBED))
         return out, new_cache
+
+    def _ring_attention(self, q, k, v, segment_ids):
+        """Sequence-parallel path (cfg.sequence_parallel): ring attention
+        over the ambient mesh's "sp" axis, composed with TP over heads
+        and DP over batch where the shapes divide. Returns None when no
+        sp>1 mesh is ambient (caller falls back to single-device flash).
+        Pads the sequence to an 8-aligned per-chunk multiple; padded
+        positions carry segment id 0."""
+        from ..core.mesh import (DATA_AXIS, FSDP_AXIS, SP_AXIS, TENSOR_AXIS,
+                                 ambient_mesh)
+        from ..parallel.ring_attention import sequence_sharded_attention
+
+        mesh = ambient_mesh()
+        if mesh is None or SP_AXIS not in mesh.shape:
+            return None
+        sp = mesh.shape[SP_AXIS]
+        if sp <= 1:
+            return None
+        b, l, nh, _ = q.shape
+        seg = (segment_ids if segment_ids is not None
+               else jnp.ones((b, l), jnp.int32))
+        lp = -(-l // (sp * 8)) * (sp * 8)
+        if lp != l:
+            pad = ((0, 0), (0, lp - l), (0, 0), (0, 0))
+            q, k, v = (jnp.pad(x, pad) for x in (q, k, v))
+            seg = jnp.pad(seg, ((0, 0), (0, lp - l)))
+        dp = mesh.shape[DATA_AXIS] * mesh.shape[FSDP_AXIS]
+        batch_axes = (DATA_AXIS, FSDP_AXIS) if b % dp == 0 else None
+        tensor = mesh.shape[TENSOR_AXIS]
+        heads_axis = TENSOR_AXIS if (tensor > 1 and nh % tensor == 0) \
+            else None
+        out = sequence_sharded_attention(
+            mesh, SP_AXIS, q, k, v, q_segment_ids=seg, causal=True,
+            batch_axes=batch_axes, heads_axis=heads_axis)
+        return out[:, :l]
 
 
 class LlamaMLP(nn.Module):

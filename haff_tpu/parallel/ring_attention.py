@@ -249,17 +249,19 @@ def sequence_sharded_attention(mesh: Mesh, axis: str, q, k, v,
                                sm_scale: Optional[float] = None,
                                block_q: int = 128, block_k: int = 128,
                                interpret: Optional[bool] = None,
-                               batch_axes=None):
+                               batch_axes=None, heads_axis=None):
     """Canonical shard_map wrapper: q/k/v (B, L, H, D) logically global,
     sequence-sharded over mesh axis `axis` (L must divide by its size,
     and L/n must be 8-aligned for the Pallas kernel). `batch_axes`
-    optionally names mesh axes sharding the batch dim (dp+sp meshes)."""
+    optionally names mesh axes sharding the batch dim and `heads_axis`
+    the mesh axis sharding heads (TP x SP composition: heads are
+    independent, so each tensor-shard rings over its own heads)."""
     n = mesh.shape[axis]
     if q.shape[1] % n or (q.shape[1] // n) % 8:
         raise ValueError(
             f"sequence {q.shape[1]} must split into 8-aligned chunks over "
             f"{n} '{axis}' devices")
-    qkv_spec = P(batch_axes, axis, None, None)
+    qkv_spec = P(batch_axes, axis, heads_axis, None)
     seg_spec = P(batch_axes, axis)
     fn = functools.partial(ring_attention, axis_name=axis, causal=causal,
                            sm_scale=sm_scale, block_q=block_q,

@@ -99,6 +99,11 @@ def parse_args(argv=None):
     # mesh
     p.add_argument("--fsdp", type=int, default=1)
     p.add_argument("--tensor", type=int, default=1)
+    p.add_argument("--sp", type=int, default=1,
+                   help="sequence-parallel mesh axis size; >1 runs "
+                        "decoder attention as ring attention with the "
+                        "sequence sharded over ICI "
+                        "(parallel/ring_attention.py)")
     # logging / ckpt
     p.add_argument("--exp_name", default="haff_tpu")
     p.add_argument("--log_base_dir", default="./runs")
@@ -182,7 +187,8 @@ def main(argv=None):
             lora_dropout=args.lora_dropout,
             lora_targets=tuple(
                 m for m in args.lora_target_modules.split(",") if m),
-            vocab_size=max(base.llama.vocab_size, len(tok) + 4)),
+            vocab_size=max(base.llama.vocab_size, len(tok) + 4),
+            sequence_parallel=args.sp > 1),
     )
     tcfg = TrainConfig(
         model=cfg, lr=args.lr, beta1=args.beta1, beta2=args.beta2,
@@ -193,7 +199,7 @@ def main(argv=None):
         grad_accumulation_steps=args.grad_accum,
         grad_clip_norm=args.grad_clip, seed=args.seed)
 
-    mesh = build_mesh(MeshConfig(data=-1, fsdp=args.fsdp,
+    mesh = build_mesh(MeshConfig(data=-1, fsdp=args.fsdp, sp=args.sp,
                                  tensor=args.tensor))
     dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
     model = LisaModel(cfg=cfg, dtype=dtype, remat=not args.no_remat)
