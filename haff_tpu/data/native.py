@@ -11,6 +11,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import sys
 from typing import Optional, Tuple
 
 import numpy as np
@@ -24,6 +25,31 @@ def _repo_root() -> str:
         os.path.abspath(__file__))))
 
 
+def _so_runs_here(so: str) -> bool:
+    """Exercise the library once in a KILLABLE subprocess. A cached .so
+    built with -march=native on a newer CPU dies with SIGILL — which
+    would take the whole loader process down — so probe out-of-process
+    before trusting it."""
+    code = (
+        "import ctypes, numpy as np\n"
+        f"lib = ctypes.CDLL({so!r})\n"
+        "lib.sam_preprocess_f32.restype = ctypes.c_int\n"
+        "img = np.zeros((4, 4, 3), np.uint8)\n"
+        "out = np.empty((8, 8, 3), np.float32)\n"
+        "one = np.ones(3, np.float32)\n"
+        "u8 = ctypes.POINTER(ctypes.c_uint8)\n"
+        "f32 = ctypes.POINTER(ctypes.c_float)\n"
+        "lib.sam_preprocess_f32(img.ctypes.data_as(u8), 4, 4, 8,\n"
+        "    one.ctypes.data_as(f32), one.ctypes.data_as(f32),\n"
+        "    out.ctypes.data_as(f32))\n")
+    try:
+        return subprocess.run(
+            [sys.executable, "-c", code], capture_output=True,
+            timeout=60).returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 def load_library() -> Optional[ctypes.CDLL]:
     global _LIB, _TRIED
     if _LIB is not None or _TRIED:
@@ -32,8 +58,9 @@ def load_library() -> Optional[ctypes.CDLL]:
     src = os.path.join(_repo_root(), "runtime", "haff_host.cpp")
     so = os.path.join(_repo_root(), "runtime", "libhaffhost.so")
     try:
-        if (not os.path.exists(so)
-                or os.path.getmtime(so) < os.path.getmtime(src)):
+        fresh = (os.path.exists(so)
+                 and os.path.getmtime(so) >= os.path.getmtime(src))
+        if not fresh or not _so_runs_here(so):
             try:
                 subprocess.run(
                     ["g++", "-O3", "-march=native", "-fPIC", "-shared",
@@ -43,6 +70,13 @@ def load_library() -> Optional[ctypes.CDLL]:
                 subprocess.run(
                     ["g++", "-O3", "-fPIC", "-shared", src, "-o", so],
                     check=True, capture_output=True)
+            if not _so_runs_here(so):
+                # -march=native binary illegal on this CPU: portable build
+                subprocess.run(
+                    ["g++", "-O3", "-fPIC", "-shared", src, "-o", so],
+                    check=True, capture_output=True)
+                if not _so_runs_here(so):
+                    raise RuntimeError("native library probe failed")
         lib = ctypes.CDLL(so)
         lib.sam_preprocess_f32.restype = ctypes.c_int
         _LIB = lib
@@ -63,7 +97,8 @@ def sam_preprocess_native(image: np.ndarray, image_size: int,
     assert lib is not None
     img = np.ascontiguousarray(image, np.uint8)
     h, w = img.shape[:2]
-    out = np.zeros((image_size, image_size, 3), np.float32)
+    # np.empty: the C++ writes every byte (content + pad memsets)
+    out = np.empty((image_size, image_size, 3), np.float32)
     mean = np.ascontiguousarray(mean, np.float32)
     std = np.ascontiguousarray(std, np.float32)
     packed = lib.sam_preprocess_f32(

@@ -187,8 +187,11 @@ class LlamaAttention(nn.Module):
                 rep = nh // nkv
                 k = jnp.repeat(k, rep, axis=2)
                 v = jnp.repeat(v, rep, axis=2)
+            # Ring path covers BOTH train (no cache) and long-context
+            # prefill (cache given, L > 1): the cache write above is
+            # local either way, only the attention is distributed.
             out = None
-            if cfg.sequence_parallel and kv_cache is None:
+            if cfg.sequence_parallel:
                 out = self._ring_attention(q, k, v, segment_ids)
             if out is None:
                 out = flash_attention(q, k, v, q_segment_ids=segment_ids,
@@ -211,11 +214,15 @@ class LlamaAttention(nn.Module):
         from ..parallel.ring_attention import sequence_sharded_attention
 
         mesh = ambient_mesh()
-        if mesh is None or SP_AXIS not in mesh.shape:
+        if mesh is None or mesh.shape.get(SP_AXIS, 1) <= 1:
+            import warnings
+
+            warnings.warn(
+                "sequence_parallel is set but no ambient mesh with an "
+                "'sp' axis > 1 was found at trace time; falling back to "
+                "single-device flash attention", stacklevel=2)
             return None
         sp = mesh.shape[SP_AXIS]
-        if sp <= 1:
-            return None
         b, l, nh, _ = q.shape
         seg = (segment_ids if segment_ids is not None
                else jnp.ones((b, l), jnp.int32))
@@ -224,9 +231,21 @@ class LlamaAttention(nn.Module):
             pad = ((0, 0), (0, lp - l), (0, 0), (0, 0))
             q, k, v = (jnp.pad(x, pad) for x in (q, k, v))
             seg = jnp.pad(seg, ((0, 0), (0, lp - l)))
-        dp = mesh.shape[DATA_AXIS] * mesh.shape[FSDP_AXIS]
-        batch_axes = (DATA_AXIS, FSDP_AXIS) if b % dp == 0 else None
-        tensor = mesh.shape[TENSOR_AXIS]
+        dp_axes = tuple(a for a in (DATA_AXIS, FSDP_AXIS)
+                        if mesh.shape.get(a, 1) > 1)
+        dp = 1
+        for a in dp_axes:
+            dp *= mesh.shape[a]
+        batch_axes = dp_axes if dp_axes and b % dp == 0 else None
+        if dp > 1 and batch_axes is None:
+            import warnings
+
+            warnings.warn(
+                f"ring attention: batch {b} does not divide data*fsdp="
+                f"{dp}; the batch is replicated across those axes for "
+                f"the attention region (correct but redundant compute)",
+                stacklevel=2)
+        tensor = mesh.shape.get(TENSOR_AXIS, 1)
         heads_axis = TENSOR_AXIS if (tensor > 1 and nh % tensor == 0) \
             else None
         out = sequence_sharded_attention(

@@ -177,12 +177,15 @@ def _ring_fwd(q, k, v, q_seg, k_seg, axis_name, causal, sm_scale, block_q,
     idx = lax.axis_index(axis_name)
     perm = [(i, (i + 1) % n) for i in range(n)]
 
-    def step(carry, s):
-        k_c, v_c, kseg_c, o, lse = carry
+    def compute(k_c, v_c, kseg_c, o, lse, s):
         rel = _relation(idx, idx - s, n)
         o_s, lse_s = _chunk_fwd(q, k_c, v_c, q_seg, kseg_c, rel, causal,
                                 sm_scale, block_q, block_k, interpret)
-        o, lse = _merge(o, lse, o_s, lse_s, b, h, lq)
+        return _merge(o, lse, o_s, lse_s, b, h, lq)
+
+    def step(carry, s):
+        k_c, v_c, kseg_c, o, lse = carry
+        o, lse = compute(k_c, v_c, kseg_c, o, lse, s)
         k_c = lax.ppermute(k_c, axis_name, perm)
         v_c = lax.ppermute(v_c, axis_name, perm)
         if kseg_c is not None:
@@ -191,8 +194,11 @@ def _ring_fwd(q, k, v, q_seg, k_seg, axis_name, causal, sm_scale, block_q,
 
     o0 = jnp.zeros((b, lq, h, d), jnp.float32)
     lse0 = jnp.full((b * h, lq), DEFAULT_MASK_VALUE, jnp.float32)
-    (_, _, _, o, lse), _ = lax.scan(
-        step, (k, v, k_seg, o0, lse0), jnp.arange(n))
+    # The last chunk needs no rotation afterwards — peel it out of the
+    # scan so 1/n of the ring K/V traffic never happens.
+    (k_c, v_c, kseg_c, o, lse), _ = lax.scan(
+        step, (k, v, k_seg, o0, lse0), jnp.arange(n - 1))
+    o, lse = compute(k_c, v_c, kseg_c, o, lse, n - 1)
     out = o.astype(q.dtype)
     return out, (q, k, v, q_seg, k_seg, out, lse)
 
@@ -205,15 +211,18 @@ def _ring_bwd(axis_name, causal, sm_scale, block_q, block_k, interpret,
     idx = lax.axis_index(axis_name)
     perm = [(i, (i + 1) % n) for i in range(n)]
 
-    def step(carry, s):
-        k_c, v_c, kseg_c, dk_c, dv_c, dq = carry
+    def compute(k_c, v_c, kseg_c, dk_c, dv_c, dq, s):
         rel = _relation(idx, idx - s, n)
         dq_s, dk_s, dv_s = _chunk_bwd(q, k_c, v_c, q_seg, kseg_c, out, lse,
                                       g, rel, causal, sm_scale, block_q,
                                       block_k, interpret)
-        dq = dq + dq_s.astype(jnp.float32)
-        dk_c = dk_c + dk_s.astype(jnp.float32)
-        dv_c = dv_c + dv_s.astype(jnp.float32)
+        return (dk_c + dk_s.astype(jnp.float32),
+                dv_c + dv_s.astype(jnp.float32),
+                dq + dq_s.astype(jnp.float32))
+
+    def step(carry, s):
+        k_c, v_c, kseg_c, dk_c, dv_c, dq = carry
+        dk_c, dv_c, dq = compute(k_c, v_c, kseg_c, dk_c, dv_c, dq, s)
         # dK/dV accumulators travel WITH their chunk; after n rotations
         # each chunk (and its gradient) is home again.
         k_c = lax.ppermute(k_c, axis_name, perm)
@@ -226,9 +235,14 @@ def _ring_bwd(axis_name, causal, sm_scale, block_q, block_k, interpret,
 
     zkv = jnp.zeros(k.shape, jnp.float32)
     dq0 = jnp.zeros(q.shape, jnp.float32)
-    (_, _, _, dk, dv, dq), _ = lax.scan(
+    # Peel the last step: only dK/dV need the final hop home — K/V and
+    # segment ids are done rotating.
+    (k_c, v_c, kseg_c, dk, dv, dq), _ = lax.scan(
         step, (k, v, k_seg, zkv, jnp.zeros(v.shape, jnp.float32), dq0),
-        jnp.arange(n))
+        jnp.arange(n - 1))
+    dk, dv, dq = compute(k_c, v_c, kseg_c, dk, dv, dq, n - 1)
+    dk = lax.ppermute(dk, axis_name, perm)
+    dv = lax.ppermute(dv, axis_name, perm)
     return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
             None, None)
 
@@ -257,10 +271,11 @@ def sequence_sharded_attention(mesh: Mesh, axis: str, q, k, v,
     the mesh axis sharding heads (TP x SP composition: heads are
     independent, so each tensor-shard rings over its own heads)."""
     n = mesh.shape[axis]
-    if q.shape[1] % n or (q.shape[1] // n) % 8:
-        raise ValueError(
-            f"sequence {q.shape[1]} must split into 8-aligned chunks over "
-            f"{n} '{axis}' devices")
+    for name, length in (("q", q.shape[1]), ("kv", k.shape[1])):
+        if length % n or (length // n) % 8:
+            raise ValueError(
+                f"{name} sequence {length} must split into 8-aligned "
+                f"chunks over {n} '{axis}' devices")
     qkv_spec = P(batch_axes, axis, heads_axis, None)
     seg_spec = P(batch_axes, axis)
     fn = functools.partial(ring_attention, axis_name=axis, causal=causal,

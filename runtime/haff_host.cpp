@@ -19,37 +19,6 @@
 
 extern "C" {
 
-// Bilinear resize uint8 HxWx3 -> OHxOWx3 (half-pixel centers, matching
-// cv2.INTER_LINEAR sampling positions).
-void resize_bilinear_u8(const uint8_t* src, int h, int w,
-                        uint8_t* dst, int oh, int ow) {
-  const float sy = (float)h / oh;
-  const float sx = (float)w / ow;
-  for (int oy = 0; oy < oh; ++oy) {
-    float fy = (oy + 0.5f) * sy - 0.5f;
-    int y0 = (int)std::floor(fy);
-    float wy = fy - y0;
-    int y1 = std::min(std::max(y0 + 1, 0), h - 1);
-    y0 = std::min(std::max(y0, 0), h - 1);
-    for (int ox = 0; ox < ow; ++ox) {
-      float fx = (ox + 0.5f) * sx - 0.5f;
-      int x0 = (int)std::floor(fx);
-      float wx = fx - x0;
-      int x1 = std::min(std::max(x0 + 1, 0), w - 1);
-      x0 = std::min(std::max(x0, 0), w - 1);
-      for (int c = 0; c < 3; ++c) {
-        float v00 = src[(y0 * w + x0) * 3 + c];
-        float v01 = src[(y0 * w + x1) * 3 + c];
-        float v10 = src[(y1 * w + x0) * 3 + c];
-        float v11 = src[(y1 * w + x1) * 3 + c];
-        float v = v00 * (1 - wy) * (1 - wx) + v01 * (1 - wy) * wx +
-                  v10 * wy * (1 - wx) + v11 * wy * wx;
-        dst[(oy * ow + ox) * 3 + c] = (uint8_t)std::lround(v);
-      }
-    }
-  }
-}
-
 // Fused SAM preprocess: resize longest side to `canvas`, normalize with
 // (mean, std), zero-pad bottom/right into a canvas x canvas x 3 f32
 // buffer. Returns packed (resize_h << 16) | resize_w.
