@@ -33,6 +33,40 @@ def save_checkpoint(ckpt_dir: str, step: int, state: Any,
     mgr.close()
 
 
+class CheckpointWriter:
+    """Async checkpoint writer for the training loop: `save` returns as
+    soon as the on-device arrays are snapshotted to host, and orbax's
+    background thread overlaps serialization/IO with the next epoch's
+    training (the TPU never idles on checkpoint writes — the analog of
+    DeepSpeed's non-blocking save the reference lacks). Call `finish`
+    before exiting or before handing the directory to a synchronous
+    writer (e.g. the preemption path)."""
+
+    def __init__(self, ckpt_dir: str, max_to_keep: int = 1):
+        self._mgr = ocp.CheckpointManager(
+            os.path.abspath(ckpt_dir),
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True,
+                enable_async_checkpointing=True))
+
+    def save(self, step: int, state: Any,
+             metrics: Optional[dict] = None) -> None:
+        # orbax serializes concurrent saves internally (a new save waits
+        # for the in-flight one before snapshotting).
+        self._mgr.save(step, args=ocp.args.StandardSave(state),
+                       metrics=metrics or {})
+
+    def finish(self) -> None:
+        self._mgr.wait_until_finished()
+        self._mgr.close()
+
+    def __enter__(self) -> "CheckpointWriter":
+        return self
+
+    def __exit__(self, *exc) -> None:
+        self.finish()
+
+
 def latest_step(ckpt_dir: str) -> Optional[int]:
     if not os.path.isdir(ckpt_dir):
         return None

@@ -440,6 +440,11 @@ def main(argv=None):
     prev_term = signal.signal(signal.SIGTERM, _on_term)
 
     micro_per_epoch = args.steps_per_epoch * args.grad_accum
+    # Async epoch/best-IoU checkpoints: training overlaps the writes;
+    # only the preemption path flushes and saves synchronously.
+    from .checkpoints import CheckpointWriter
+
+    writer = CheckpointWriter(ckpt_dir)
     with mesh:
         for epoch in range(start_epoch, args.epochs):
             meters = {k: AverageMeter(k) for k in
@@ -461,6 +466,7 @@ def main(argv=None):
                     # keep 2: this mid-training state AND the best-IoU
                     # checkpoint (max_to_keep=1 would garbage-collect
                     # the best weights, losing the run's real artifact)
+                    writer.finish()
                     save_checkpoint(ckpt_dir, int(state.step), state,
                                     max_to_keep=2)
                     print(f"preemption checkpoint at step "
@@ -496,11 +502,12 @@ def main(argv=None):
                            int(state.step))
                 if val_iou > best_iou:
                     best_iou = val_iou
-                    save_checkpoint(ckpt_dir, int(state.step), state,
-                                    metrics=dict(iou=val_iou))
+                    writer.save(int(state.step), state,
+                                metrics=dict(iou=val_iou))
                     print(f"saved best checkpoint (IoU {val_iou:.4f})")
             else:
-                save_checkpoint(ckpt_dir, int(state.step), state)
+                writer.save(int(state.step), state)
+    writer.finish()
     logger.close()
 
 

@@ -120,6 +120,28 @@ def test_checkpoint_roundtrip(tmp_path, setup):
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
+def test_async_checkpoint_writer(tmp_path, setup):
+    """CheckpointWriter: back-to-back async saves (second supersedes,
+    max_to_keep=1), flushed by finish(), restorable by the standard
+    reader."""
+    cfg, model, batch, params = setup
+    from haff_tpu.train.checkpoints import (CheckpointWriter,
+                                            restore_checkpoint)
+
+    tcfg = TrainConfig(model=cfg, grad_accumulation_steps=1)
+    trainable, _ = partition_params(params)
+    state = init_train_state(tcfg, trainable)
+    with CheckpointWriter(str(tmp_path / "ckpt")) as w:
+        w.save(3, state)
+        w.save(9, state, metrics=dict(iou=0.5))
+    target = init_train_state(tcfg, trainable)
+    restored, step = restore_checkpoint(str(tmp_path / "ckpt"), target)
+    assert step == 9
+    a = jax.tree_util.tree_leaves(state.trainable)[0]
+    b = jax.tree_util.tree_leaves(restored.trainable)[0]
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_sharded_train_step_8dev(setup):
     """Full train step jitted over a (2 data, 2 fsdp, 2 tensor) mesh —
     the multi-chip path the driver dry-runs."""
