@@ -154,6 +154,46 @@ def test_llama_sequence_parallel_matches_single_device():
             err_msg=f"sp={mesh_cfg.sp} tensor={mesh_cfg.tensor}")
 
 
+def test_llama_sequence_parallel_prefill_with_cache():
+    """Long-context prefill (kv caches being written) must also take the
+    ring path and agree with the plain path — logits AND cache
+    contents."""
+    import dataclasses
+
+    from haff_tpu.core.config import LlamaConfig, MeshConfig
+    from haff_tpu.core.mesh import build_mesh
+    from haff_tpu.nn.llama import LlamaForCausalLM
+
+    base = LlamaConfig.preset("tiny")
+    b, l, max_len = 2, 64, 80
+    rng = np.random.RandomState(2)
+    embeds = jnp.asarray(rng.randn(b, l, base.hidden_size)
+                         .astype(np.float32) * 0.1)
+    pos = jnp.broadcast_to(jnp.arange(l)[None], (b, l))
+    seg = jnp.ones((b, l), jnp.int32)
+
+    def prefill(model):
+        caches = model.init_kv_caches(b, max_len, dtype=jnp.float32)
+        return model.apply(params, embeds, pos, seg, kv_caches=caches,
+                           cache_index=jnp.zeros((b,), jnp.int32))
+
+    plain = LlamaForCausalLM(cfg=base)
+    params = plain.init(jax.random.PRNGKey(0), embeds, pos)
+    ref_logits, _, ref_caches = prefill(plain)
+
+    sp_model = LlamaForCausalLM(
+        cfg=dataclasses.replace(base, sequence_parallel=True))
+    mesh = build_mesh(MeshConfig(data=1, fsdp=1, sp=8, tensor=1))
+    with mesh:
+        logits, _, caches = jax.jit(lambda: prefill(sp_model))()
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref_logits),
+                               atol=2e-4)
+    for got, want in zip(jax.tree_util.tree_leaves(caches),
+                         jax.tree_util.tree_leaves(ref_caches)):
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)
+
+
 def test_llama_sequence_parallel_gradients():
     """Backward through the full decoder with ring attention (custom
     vjp under remat + shard_map) stays finite and matches the plain
