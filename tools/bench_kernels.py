@@ -1,0 +1,410 @@
+"""Kernel-level microbenchmarks for the measurement campaign.
+
+Subcommands (python tools/bench_kernels.py <cmd> [args]):
+
+  winprof [B]     windowed-SAM-block time split at batch B (default 24):
+                  qkv projection, rel-pos band tables, attention kernel,
+                  full block — localizes the encoder's per-layer cost
+                  (reference counterpart: image_encoder.py:263-318).
+  bandforms [B]   A/B of rel-pos band-table einsum formulations.
+  int8mxu         does the MXU run int8 x int8 at 2x bf16 rate? Pallas
+                  tiled matmul, identical structure, int8 vs bf16.
+  w8a8 [--interpret]
+                  XLA bf16 dot vs XLA int8 (quant.int8_matmul) vs Pallas
+                  fused W8A8 (quant.pallas_int8_matmul) at real
+                  SAM-encoder shapes; --interpret runs a CPU parity
+                  check instead of timing.
+  w4a16           XLA per-layer int4 dequant vs fused Pallas nibble
+                  unpack (quant.pallas_int4_matmul) at 13B decode shapes.
+
+Axon-tunnel timing rules (see ROUND_NOTES.md): every timed quantity is
+a lax.fori_loop chain of N applications inside ONE jit returning a
+device-reduced SCALAR; wall time divides by N after a warm-up call.
+jax.block_until_ready is NOT trusted under the tunnel.
+"""
+
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np  # noqa: E402
+
+
+def timeit(run, *args, n=1):
+    """Compile+warm, then one timed call of an N-chained jit."""
+    float(run(*args))
+    t0 = time.perf_counter()
+    float(run(*args))
+    return (time.perf_counter() - t0) / n
+
+
+# --------------------------------------------------------------------------
+# winprof / bandforms — windowed SAM encoder block split
+# --------------------------------------------------------------------------
+
+def _win_setup(batch):
+    import jax.numpy as jnp
+
+    WIN, C, NH = 14, 1280, 16
+    L, D = WIN * WIN, C // NH
+    BW = batch * 25
+    kp = 16
+    while (NH * kp) % 128:
+        kp += 16
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(BW, L, C).astype(np.float32), jnp.bfloat16)
+    wqkv = jnp.asarray(rng.randn(C, 3 * C).astype(np.float32) * 0.02,
+                       jnp.bfloat16)
+    rel_h = jnp.asarray(rng.randn(2 * WIN - 1, D).astype(np.float32) * 0.02)
+    rel_w = jnp.asarray(rng.randn(2 * WIN - 1, D).astype(np.float32) * 0.02)
+    return WIN, C, NH, L, D, BW, kp, x, wqkv, rel_h, rel_w
+
+
+def cmd_winprof(batch=24, n=10):
+    import jax
+    import jax.numpy as jnp
+
+    from haff_tpu.kernels.sam_attention import (_natural_band_tables,
+                                                sam_window_attention_qkv)
+
+    WIN, C, NH, L, D, BW, kp, x, wqkv, rel_h, rel_w = _win_setup(batch)
+    qkv0 = x @ wqkv
+    q4 = qkv0[:, :, :C].reshape(BW, L, NH, D)
+    scale = D ** -0.5
+
+    def bench(name, run, *args):
+        print(f"{name:6s} {timeit(run, *args, n=n) * 1e3:8.3f} ms/layer",
+              flush=True)
+
+    @jax.jit
+    def run_qkv(x):
+        def body(i, acc):
+            return (acc @ wqkv)[:, :, :C]
+        out = jax.lax.fori_loop(0, n, body, x)
+        return jnp.sum(out.astype(jnp.float32))
+
+    @jax.jit
+    def run_band(q4):
+        def body(i, acc):
+            bh, bw = _natural_band_tables(
+                q4 + acc * 0, rel_h, rel_w, (WIN, WIN), kp)
+            return q4 + (jnp.sum(bh.astype(jnp.float32))
+                         + jnp.sum(bw.astype(jnp.float32))) * 1e-30
+        out = jax.lax.fori_loop(0, n, body, q4)
+        return jnp.sum(out.astype(jnp.float32))
+
+    @jax.jit
+    def run_attn(qkv):
+        def body(i, acc):
+            o = sam_window_attention_qkv(
+                qkv + acc * 1e-30, rel_h, rel_w, (WIN, WIN), NH,
+                sm_scale=scale)
+            return qkv + jnp.sum(o.astype(jnp.float32)) * 1e-30
+        out = jax.lax.fori_loop(0, n, body, qkv)
+        return jnp.sum(out.astype(jnp.float32))
+
+    bench("qkv", run_qkv, x)
+    bench("band", run_band, q4)
+    bench("attn", run_attn, qkv0)
+
+    from haff_tpu.core.config import ModelConfig
+    from haff_tpu.nn.sam_image_encoder import SamBlock
+
+    cfg = ModelConfig.preset("7b").sam_encoder
+    blk = SamBlock(cfg=cfg, window_size=WIN, dtype=jnp.bfloat16)
+    xi = jnp.asarray(
+        np.random.RandomState(1).randn(batch, 64, 64, C).astype(np.float32),
+        jnp.bfloat16)
+    params = jax.jit(blk.init)(jax.random.PRNGKey(0), xi)
+
+    @jax.jit
+    def run_block(xi):
+        def body(i, acc):
+            return blk.apply(params, acc)
+        out = jax.lax.fori_loop(0, n, body, xi)
+        return jnp.sum(out.astype(jnp.float32))
+
+    bench("block", run_block, xi)
+
+
+def cmd_bandforms(batch=24, n=10):
+    import jax
+    import jax.numpy as jnp
+
+    from haff_tpu.kernels.sam_attention import _natural_band_tables
+    from haff_tpu.nn.sam_image_encoder import get_rel_pos
+
+    WIN, C, NH, L, D, BW, kp, _, _, rel_h, rel_w = _win_setup(batch)
+    H = W = WIN
+    rng = np.random.RandomState(0)
+    q4 = jnp.asarray(rng.randn(BW, L, NH, D).astype(np.float32),
+                     jnp.bfloat16)
+
+    def bench(name, fn):
+        @jax.jit
+        def run(q4):
+            def body(i, acc):
+                bh, bw = fn(q4 + acc[..., :1, :1, :1] * 0)
+                return q4 + (jnp.sum(bh.astype(jnp.float32))
+                             + jnp.sum(bw.astype(jnp.float32))) * 1e-30
+            out = jax.lax.fori_loop(0, n, body, q4)
+            return jnp.sum(out.astype(jnp.float32))
+        try:
+            print(f"{name}: {timeit(run, q4, n=n) * 1e3:8.3f} ms/layer",
+                  flush=True)
+        except Exception as e:
+            print(f"{name}: FAILED {type(e).__name__} {str(e)[:120]}",
+                  flush=True)
+
+    def padded_tables(dtype):
+        Rh = jnp.pad(get_rel_pos(H, H, rel_h),
+                     ((0, 0), (0, kp - H), (0, 0))).astype(dtype)
+        Rw = jnp.pad(get_rel_pos(W, W, rel_w),
+                     ((0, 0), (0, kp - W), (0, 0))).astype(dtype)
+        return Rh, Rw
+
+    def v1(q):  # current production formulation
+        return _natural_band_tables(q, rel_h, rel_w, (WIN, WIN), kp)
+
+    def v2(q):  # pre-gathered (L, kp, d) tables, l-major einsum
+        Rh, Rw = padded_tables(q.dtype)
+        rows, cols = np.arange(L) // W, np.arange(L) % W
+        Bh = jnp.einsum("blnc,lkc->blnk", q, Rh[rows],
+                        preferred_element_type=jnp.float32)
+        Bw = jnp.einsum("blnc,lkc->blnk", q, Rw[cols],
+                        preferred_element_type=jnp.float32)
+        return (Bh.astype(q.dtype).reshape(BW, L, NH * kp),
+                Bw.astype(q.dtype).reshape(BW, L, NH * kp))
+
+    def v3(q):  # h/w-major, pure bf16 accumulation
+        Rh, Rw = padded_tables(q.dtype)
+        r_q = q.reshape(BW, H, W, NH, D)
+        Bh = jnp.einsum("bhwnc,hkc->bhwnk", r_q, Rh)
+        Bw = jnp.einsum("bhwnc,wkc->bhwnk", r_q, Rw)
+        return (Bh.reshape(BW, L, NH * kp), Bw.reshape(BW, L, NH * kp))
+
+    def v4(q):  # both tables through one fused einsum
+        Rh, Rw = padded_tables(jnp.float32)
+        rows, cols = np.arange(L) // W, np.arange(L) % W
+        Rcat = jnp.concatenate([Rh[rows], Rw[cols]], axis=1).astype(q.dtype)
+        Bcat = jnp.einsum("blnc,lkc->blnk", q, Rcat,
+                          preferred_element_type=jnp.float32).astype(q.dtype)
+        return (Bcat[..., :kp].reshape(BW, L, NH * kp),
+                Bcat[..., kp:].reshape(BW, L, NH * kp))
+
+    for name, fn in (("v1-current", v1), ("v2-pregather", v2),
+                     ("v3-hwmajor", v3), ("v4-fusedcat", v4)):
+        bench(name, fn)
+
+
+# --------------------------------------------------------------------------
+# int8mxu — raw MXU int8 vs bf16 rate
+# --------------------------------------------------------------------------
+
+def cmd_int8mxu(n=8):
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M = K = N = 2048
+    BM, BK, BN = 512, 2048, 512
+
+    def mm_kernel(a_ref, b_ref, o_ref, acc_ref, *, nk, out_dtype):
+        ki = pl.program_id(2)
+
+        @pl.when(ki == 0)
+        def _():
+            acc_ref[:] = jnp.zeros_like(acc_ref)
+
+        acc_ref[:] += jax.lax.dot_general(
+            a_ref[...], b_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=acc_ref.dtype)
+
+        @pl.when(ki == nk - 1)
+        def _():
+            o_ref[:] = acc_ref[:].astype(out_dtype)
+
+    def make_mm(dtype, acc_dtype):
+        nk = K // BK
+
+        def mm(a, b):
+            return pl.pallas_call(
+                functools.partial(mm_kernel, nk=nk, out_dtype=dtype),
+                grid=(M // BM, N // BN, nk),
+                in_specs=[
+                    pl.BlockSpec((BM, BK), lambda i, j, k: (i, k)),
+                    pl.BlockSpec((BK, BN), lambda i, j, k: (k, j)),
+                ],
+                out_specs=pl.BlockSpec((BM, BN), lambda i, j, k: (i, j)),
+                out_shape=jax.ShapeDtypeStruct((M, N), dtype),
+                scratch_shapes=[pltpu.VMEM((BM, BN), acc_dtype)],
+            )(a, b)
+        return mm
+
+    def bench(name, dtype, acc_dtype):
+        rng = np.random.RandomState(0)
+        if dtype == jnp.int8:
+            a = jnp.asarray(rng.randint(-127, 127, (M, K), dtype=np.int8))
+            b = jnp.asarray(rng.randint(-127, 127, (K, N), dtype=np.int8))
+        else:
+            a = jnp.asarray(rng.randn(M, K).astype(np.float32), dtype)
+            b = jnp.asarray(rng.randn(K, N).astype(np.float32), dtype)
+        mm = make_mm(dtype, acc_dtype)
+
+        @jax.jit
+        def run(a, b):
+            def body(i, carry):
+                a_, s = carry
+                o = mm(a_, b)
+                if dtype == jnp.int8:
+                    # renormalize so the chain doesn't overflow int32
+                    a2 = (o // (K * 64)).astype(jnp.int8)
+                    return a2, s + jnp.sum(o.astype(jnp.float32)) * 1e-30
+                return (o.astype(dtype),
+                        s + jnp.sum(o.astype(jnp.float32)) * 1e-30)
+            out, s = jax.lax.fori_loop(
+                0, n, body, (a, jnp.zeros((), jnp.float32)))
+            return s + jnp.sum(out.astype(jnp.float32)) * 1e-30
+
+        dt = timeit(run, a, b, n=n)
+        tops = 2 * M * K * N / dt / 1e12
+        print(f"{name}: {dt * 1e3:.3f} ms/matmul = {tops:.1f} TOP/s",
+              flush=True)
+
+    bench("bf16", jnp.bfloat16, jnp.float32)
+    bench("int8", jnp.int8, jnp.int32)
+
+
+# --------------------------------------------------------------------------
+# w8a8 — serving dense paths at real SAM-encoder shapes
+# --------------------------------------------------------------------------
+
+def cmd_w8a8(interpret=False, n=8):
+    import jax
+    import jax.numpy as jnp
+
+    from haff_tpu.nn.quant import (int8_matmul, pallas_int8_matmul,
+                                   quantize_activation, quantize_kernel)
+
+    if interpret:
+        jax.config.update("jax_platforms", "cpu")
+        shapes = [(512, 128, 256)]
+    else:
+        shapes = [(117600, 1280, 3840),   # windowed qkv @ batch 24
+                  (98304, 1280, 5120),    # mlp lin1
+                  (98304, 5120, 1280)]    # mlp lin2
+    rng = np.random.RandomState(0)
+    for (M, K, N) in shapes:
+        x = jnp.asarray(rng.randn(M, K).astype(np.float32) * 0.5,
+                        jnp.bfloat16)
+        w = rng.randn(K, N).astype(np.float32) * 0.02
+        wq, ws = quantize_kernel(jnp.asarray(w))
+        wbf = jnp.asarray(w, jnp.bfloat16)
+
+        def pl_int8(xx, ww, ss):
+            qa = quantize_activation(xx)
+            return pallas_int8_matmul(qa.values, ww, qa.scales, ss,
+                                      interpret=interpret)
+
+        if interpret:
+            a = pl_int8(x, wq, ws)
+            b = int8_matmul(x, wq, ws)
+            d = float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                                      - b.astype(jnp.float32))))
+            rel = d / float(jnp.max(jnp.abs(b.astype(jnp.float32))))
+            print(f"parity max abs diff vs int8_matmul: {d:.5f} "
+                  f"(rel {rel:.4f})")
+            assert rel < 0.02, rel
+            continue
+
+        def bench(name, f, *args):
+            @jax.jit
+            def run(*a):
+                def body(i, acc):
+                    o = f(*a)
+                    return acc + jnp.sum(o.astype(jnp.float32)) * 1e-30
+                return jax.lax.fori_loop(0, n, body,
+                                         jnp.zeros((), jnp.float32))
+            try:
+                dt = timeit(run, *args, n=n)
+                tput = 2 * M * K * N / dt / 1e12
+                print(f"  {name:9s} {dt * 1e3:8.3f} ms  {tput:6.1f} T/s",
+                      flush=True)
+            except Exception as e:
+                print(f"  {name:9s} FAILED {type(e).__name__} "
+                      f"{str(e)[:120]}", flush=True)
+
+        print(f"shape M={M} K={K} N={N}", flush=True)
+        bench("xla-bf16", lambda xx, ww: jnp.dot(
+            xx, ww,
+            preferred_element_type=jnp.float32).astype(jnp.bfloat16),
+            x, wbf)
+        bench("xla-int8", int8_matmul, x, wq, ws)
+        bench("pl-int8", pl_int8, x, wq, ws)
+
+
+# --------------------------------------------------------------------------
+# w4a16 — 13B decode dense paths
+# --------------------------------------------------------------------------
+
+def cmd_w4a16(n=25):
+    import jax
+    import jax.numpy as jnp
+
+    from haff_tpu.nn.quant import (int4_matmul, pallas_int4_matmul,
+                                   quantize_kernel_int4)
+
+    SHAPES = [  # (M, K, N) — 13B decode: qkv/o 5120x5120, mlp 5120x13824
+        (8, 5120, 5120),
+        (8, 5120, 13824),
+        (8, 13824, 5120),
+        (256, 5120, 13824),
+    ]
+
+    def bench(fn, x):
+        def chain(x):
+            def body(_, c):
+                y = fn(c)
+                return c + 1e-6 * y[:, : x.shape[1]].astype(x.dtype)
+            return jnp.sum(jax.lax.fori_loop(0, n, body, x))
+        return timeit(jax.jit(chain), x, n=n)
+
+    for M, K, N in SHAPES:
+        rng = np.random.RandomState(0)
+        w = jnp.asarray(rng.randn(K, N).astype(np.float32) * 0.02)
+        p, s = quantize_kernel_int4(w, group=64)
+        x = jnp.asarray(rng.randn(M, K), jnp.bfloat16)
+        t_xla = bench(lambda c: int4_matmul(c, p, s, group=64), x)
+        try:
+            t_pl = bench(lambda c: pallas_int4_matmul(
+                c, p, s, group=64, dtype=jnp.bfloat16), x)
+        except Exception as e:  # Mosaic rejection — report, keep going
+            t_pl = float("nan")
+            print(f"  pallas failed: {type(e).__name__}: {str(e)[:200]}")
+        gbs = (K * N / 2) / max(t_pl, 1e-9) / 1e9
+        print(f"M{M} K{K} N{N}: xla {t_xla * 1e3:.3f} ms  "
+              f"pallas {t_pl * 1e3:.3f} ms (packed-traffic {gbs:.0f} GB/s)",
+              flush=True)
+
+
+def main():
+    cmds = {"winprof": cmd_winprof, "bandforms": cmd_bandforms,
+            "int8mxu": cmd_int8mxu, "w8a8": cmd_w8a8, "w4a16": cmd_w4a16}
+    if len(sys.argv) < 2 or sys.argv[1] not in cmds:
+        print(__doc__)
+        sys.exit(2)
+    cmd, rest = sys.argv[1], sys.argv[2:]
+    kwargs = {}
+    if cmd in ("winprof", "bandforms") and rest and rest[0].isdigit():
+        kwargs["batch"] = int(rest[0])
+    if cmd == "w8a8" and "--interpret" in rest:
+        kwargs["interpret"] = True
+    cmds[cmd](**kwargs)
+
+
+if __name__ == "__main__":
+    main()
