@@ -229,10 +229,12 @@ class LoraConfig:
 
 @dataclass(frozen=True)
 class MeshConfig:
-    """Device mesh layout. Axes: data (DP/ZeRO), fsdp (param shard),
-    sp (sequence parallelism / ring attention), tensor (TP)."""
+    """Device mesh layout. Axes: data (DP/ZeRO), pp (pipeline stages),
+    fsdp (param shard), sp (sequence parallelism / ring attention),
+    tensor (TP)."""
 
     data: int = -1  # -1: fill with remaining devices
+    pp: int = 1
     fsdp: int = 1
     sp: int = 1
     tensor: int = 1
@@ -256,6 +258,7 @@ class TrainConfig:
     batch_size: int = 2
     grad_accumulation_steps: int = 10
     grad_clip_norm: float = 1.0
+    pp_microbatches: int = 0  # GPipe microbatches; 0 = auto (<= 2*pp)
     model_max_length: int = 575
     precision: str = "bf16"
     remat: bool = True  # activation checkpointing

@@ -6,7 +6,12 @@ The reference's distributed runtime is DeepSpeed ZeRO-2 over NCCL
 
     data   — batch / gradient sharding (ZeRO analog: optimizer state is
              sharded over this axis via NamedSharding rules)
+    pipe   — pipeline parallelism over decoder layers (GPipe schedule,
+             parallel/pipeline.py; stage hand-offs are point-to-point
+             ppermutes, so this axis tolerates the slowest links and
+             sits right after `data` in the device order)
     fsdp   — parameter sharding (fully-sharded data parallel)
+    sp     — sequence parallelism (ring attention)
     tensor — tensor parallelism over attention heads / MLP columns (ICI)
 
 GSPMD inserts the reduce-scatter/all-gather collectives that DeepSpeed
@@ -26,37 +31,39 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from .config import MeshConfig
 
 DATA_AXIS = "data"
+PIPE_AXIS = "pipe"
 FSDP_AXIS = "fsdp"
 SP_AXIS = "sp"
 TENSOR_AXIS = "tensor"
-AXES = (DATA_AXIS, FSDP_AXIS, SP_AXIS, TENSOR_AXIS)
+AXES = (DATA_AXIS, PIPE_AXIS, FSDP_AXIS, SP_AXIS, TENSOR_AXIS)
 
 
 def build_mesh(cfg: MeshConfig = MeshConfig(),
                devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
-    """Build a 4-axis mesh, filling the `data` axis with leftover devices."""
+    """Build a 5-axis mesh, filling the `data` axis with leftover devices."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
+    pipe = max(1, getattr(cfg, "pp", 1))
     fsdp = max(1, cfg.fsdp)
     sp = max(1, getattr(cfg, "sp", 1))
     tensor = max(1, cfg.tensor)
+    model = pipe * fsdp * sp * tensor
     if cfg.data == -1:
-        if n % (fsdp * sp * tensor) != 0:
+        if n % model != 0:
             raise ValueError(
-                f"{n} devices not divisible by fsdp*sp*tensor="
-                f"{fsdp * sp * tensor}")
-        data = n // (fsdp * sp * tensor)
+                f"{n} devices not divisible by pp*fsdp*sp*tensor={model}")
+        data = n // model
     else:
         data = cfg.data
-    if data * fsdp * sp * tensor != n:
+    if data * model != n:
         raise ValueError(
-            f"mesh {data}x{fsdp}x{sp}x{tensor} != {n} devices")
-    arr = np.array(devices).reshape(data, fsdp, sp, tensor)
+            f"mesh {data}x{pipe}x{fsdp}x{sp}x{tensor} != {n} devices")
+    arr = np.array(devices).reshape(data, pipe, fsdp, sp, tensor)
     return Mesh(arr, AXES)
 
 
 def single_device_mesh() -> Mesh:
-    return Mesh(np.array(jax.devices()[:1]).reshape(1, 1, 1, 1), AXES)
+    return Mesh(np.array(jax.devices()[:1]).reshape(1, 1, 1, 1, 1), AXES)
 
 
 _MESH_STACK: list[Mesh] = []

@@ -135,9 +135,14 @@ class LisaModel(nn.Module):
         return self.llm.embed(safe)
 
     # ----- the jitted training/validation forward -----
+    #
+    # __call__ is split into splice_inputs / finish_outputs around the
+    # decoder so parallel/pipeline.py can run the SAME pre/post code
+    # with the block stack pipelined over a `pipe` mesh axis.
 
-    def __call__(self, batch: TrainBatch,
-                 deterministic: bool = True) -> LisaOutputs:
+    def splice_inputs(self, batch: TrainBatch):
+        """Steps 1-2a: vision encoders + multimodal splice. Returns
+        (sam_embeddings expanded to conversations, SpliceOutputs)."""
         cfg = self.cfg
         # 1. vision encoders over UNIQUE images, then expand.
         sam_emb = self.encode_sam(batch.images_sam)        # (B_img, g, g, 256)
@@ -145,16 +150,26 @@ class LisaModel(nn.Module):
         sam_emb = sam_emb[batch.image_index]
         clip_emb = clip_emb[batch.image_index]
 
-        # 2. splice + LLM.
+        # 2. splice.
         tok = self.embed_tokens(batch.input_ids)
         img_pos = find_image_position(batch.input_ids)
         sp = splice_image_embeddings(
             tok, clip_emb, img_pos, batch.input_ids, batch.labels,
             batch.attention_mask, seg_token_idx=cfg.seg_token_idx)
+        return sam_emb, sp
+
+    def __call__(self, batch: TrainBatch,
+                 deterministic: bool = True) -> LisaOutputs:
+        sam_emb, sp = self.splice_inputs(batch)
         logits, hidden, _ = self.llm_forward(
             sp.embeds, sp.positions, sp.segment_ids,
             deterministic=deterministic)
+        return self.finish_outputs(batch, sam_emb, sp, logits, hidden)
 
+    def finish_outputs(self, batch: TrainBatch, sam_emb, sp, logits,
+                       hidden) -> LisaOutputs:
+        """Steps 3-5: [SEG] gather, dual mask decode, loss stack."""
+        cfg = self.cfg
         # 3. [SEG] gather + projection.
         proj = self.project_seg(hidden)                    # (B, L, out_dim)
         seg_emb, seg_valid = gather_seg_embeddings(

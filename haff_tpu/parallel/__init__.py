@@ -8,3 +8,10 @@ from .ring_attention import (  # noqa: F401
     ring_attention,
     sequence_sharded_attention,
 )
+from .pipeline import (  # noqa: F401
+    pipeline_blocks,
+    pipelined_lisa_forward,
+    pipelined_llm_forward,
+    stack_layer_params,
+    unstack_layer_params,
+)

@@ -104,6 +104,13 @@ def parse_args(argv=None):
                         "decoder attention as ring attention with the "
                         "sequence sharded over ICI "
                         "(parallel/ring_attention.py)")
+    p.add_argument("--pp", type=int, default=1,
+                   help="pipeline-parallel mesh axis size; >1 runs the "
+                        "decoder layers as a GPipe pipeline of that "
+                        "many stages (parallel/pipeline.py)")
+    p.add_argument("--pp_microbatches", type=int, default=0,
+                   help="GPipe microbatches per step (0 = auto, the "
+                        "largest batch divisor <= 2*pp)")
     # logging / ckpt
     p.add_argument("--exp_name", default="haff_tpu")
     p.add_argument("--log_base_dir", default="./runs")
@@ -197,10 +204,15 @@ def main(argv=None):
         epochs=args.epochs, steps_per_epoch=args.steps_per_epoch,
         batch_size=args.batch_size,
         grad_accumulation_steps=args.grad_accum,
-        grad_clip_norm=args.grad_clip, seed=args.seed)
+        grad_clip_norm=args.grad_clip,
+        pp_microbatches=args.pp_microbatches, seed=args.seed)
 
-    mesh = build_mesh(MeshConfig(data=-1, fsdp=args.fsdp, sp=args.sp,
-                                 tensor=args.tensor))
+    if args.pp > 1 and args.sp > 1:
+        raise SystemExit(
+            "--pp cannot be combined with --sp (ring attention); "
+            "use pp x tensor x data instead")
+    mesh = build_mesh(MeshConfig(data=-1, pp=args.pp, fsdp=args.fsdp,
+                                 sp=args.sp, tensor=args.tensor))
     dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
     model = LisaModel(cfg=cfg, dtype=dtype, remat=not args.no_remat)
 
@@ -320,7 +332,7 @@ def main(argv=None):
     if args.start_epoch is not None:
         start_epoch = args.start_epoch
 
-    base_step = make_train_step(model, tcfg)
+    base_step = make_train_step(model, tcfg, mesh=mesh)
     if args.load_in_8bit or args.load_in_4bit:
         # QLoRA analog (reference train_ds.py:57-58 bitsandbytes load):
         # the frozen base lives int8/int4 in HBM; the dequantize runs

@@ -98,16 +98,39 @@ def init_train_state(cfg: TrainConfig, trainable) -> TrainState:
                       opt_state=tx.init(trainable))
 
 
-def make_train_step(model: LisaModel, cfg: TrainConfig
+def _forward(model: LisaModel, cfg: TrainConfig, mesh, params, batch,
+             rng, deterministic: bool):
+    """model.apply, routed through the pipeline engine when the mesh has
+    a `pipe` axis > 1 (parallel/pipeline.py — GPipe over decoder layers;
+    beyond-parity: the reference's DeepSpeed config is ZeRO-2 only,
+    train_ds.py:344-393)."""
+    rngs = {"dropout": rng} if rng is not None else None
+    pp = int(mesh.shape.get("pipe", 1)) if mesh is not None else 1
+    if pp > 1:
+        from ..parallel.pipeline import (auto_microbatches,
+                                         pipelined_lisa_forward)
+
+        nm = getattr(cfg, "pp_microbatches", 0) or auto_microbatches(
+            int(batch.input_ids.shape[0]), pp)
+        return pipelined_lisa_forward(
+            model, params, batch, mesh=mesh, num_microbatches=nm,
+            deterministic=deterministic, rngs=rngs)
+    return model.apply({"params": params}, batch,
+                       deterministic=deterministic, rngs=rngs)
+
+
+def make_train_step(model: LisaModel, cfg: TrainConfig, mesh=None
                     ) -> Callable:
     """Returns step(state, frozen, batch, rng) -> (state, metrics).
-    Jit/pjit-compatible; batch is a TrainBatch of device arrays."""
+    Jit/pjit-compatible; batch is a TrainBatch of device arrays.
+    `mesh`: pass the training mesh to enable pipeline parallelism when
+    it has a `pipe` axis > 1 (otherwise unused)."""
     tx = make_optimizer(cfg)
 
     def loss_fn(trainable, frozen, batch, rng):
         params = merge_params(trainable, frozen)
-        out = model.apply({"params": params}, batch, deterministic=False,
-                          rngs={"dropout": rng})
+        out = _forward(model, cfg, mesh, params, batch, rng,
+                       deterministic=False)
         return out.loss, out
 
     def step(state: TrainState, frozen, batch: TrainBatch, rng):
@@ -129,13 +152,16 @@ def make_train_step(model: LisaModel, cfg: TrainConfig
     return step
 
 
-def make_eval_step(model: LisaModel) -> Callable:
+def make_eval_step(model: LisaModel, cfg: TrainConfig = None,
+                   mesh=None) -> Callable:
     """Validation forward (no grad): returns per-sample canvas masks,
     taxonomy and losses — the train-time validate() analog
-    (train_ds.py:625-758)."""
+    (train_ds.py:625-758). With a `pipe` mesh axis > 1 the forward is
+    pipelined like the train step."""
 
     def step(trainable, frozen, batch: TrainBatch):
         params = merge_params(trainable, frozen)
-        return model.apply({"params": params}, batch)
+        return _forward(model, cfg, mesh, params, batch, rng=None,
+                        deterministic=True)
 
     return step
