@@ -39,7 +39,6 @@ combination.
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, Optional, Sequence, Tuple
 
 import jax
@@ -67,15 +66,22 @@ def unstack_layer_params(stacked: Any, num_layers: int) -> dict:
     }
 
 
-def auto_microbatches(batch: int, stages: int) -> int:
+def auto_microbatches(batch: int, stages: int, shards: int = 1) -> int:
     """Largest divisor of `batch` at most 2*stages — keeps the GPipe
     bubble (stages-1)/(nm+stages-1) around a third or better when the
-    batch allows, degrading gracefully for small batches."""
+    batch allows, degrading gracefully for small batches. `shards` is
+    the data*fsdp batch-shard count: microbatch sizes that still divide
+    it are preferred, so every tick keeps the data axis fully busy."""
     target = min(batch, 2 * stages)
+    fallback = 1
     for nm in range(target, 0, -1):
-        if batch % nm == 0:
+        if batch % nm:
+            continue
+        if (batch // nm) % shards == 0:
             return nm
-    return 1
+        if fallback == 1:
+            fallback = nm  # largest plain divisor, if none fits shards
+    return fallback
 
 
 def pipeline_blocks(

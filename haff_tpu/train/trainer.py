@@ -110,8 +110,10 @@ def _forward(model: LisaModel, cfg: TrainConfig, mesh, params, batch,
         from ..parallel.pipeline import (auto_microbatches,
                                          pipelined_lisa_forward)
 
+        shards = int(mesh.shape.get("data", 1)) * int(
+            mesh.shape.get("fsdp", 1))
         nm = getattr(cfg, "pp_microbatches", 0) or auto_microbatches(
-            int(batch.input_ids.shape[0]), pp)
+            int(batch.input_ids.shape[0]), pp, shards)
         return pipelined_lisa_forward(
             model, params, batch, mesh=mesh, num_microbatches=nm,
             deterministic=deterministic, rngs=rngs)

@@ -1,234 +1,246 @@
-"""Pipeline parallelism (parallel/pipeline.py): GPipe engine parity on
-the virtual 8-device CPU mesh — forward, gradients, LISA train step,
-and composition with data/tensor axes. Beyond-parity capability (the
-reference's DeepSpeed config is ZeRO-2 only, train_ds.py:344-393)."""
+"""2HANDS pipeline ops + end-to-end pack -> AffDataset roundtrip."""
 
-import dataclasses
-import sys
-
-import flax.linen as nn
+import numpy as np
 import jax
 import jax.numpy as jnp
-import numpy as np
-import pytest
 
-sys.path.insert(0, "tests")
-from test_lisa_model import make_tiny_batch  # noqa: E402
-
-from haff_tpu.core.config import (
-    LlamaConfig,
-    MeshConfig,
-    ModelConfig,
-    TrainConfig,
-)
-from haff_tpu.core.mesh import build_mesh
-from haff_tpu.model.lisa import LisaModel, TrainBatch
-from haff_tpu.parallel.pipeline import (
-    auto_microbatches,
-    pipelined_llm_forward,
-    stack_layer_params,
-    unstack_layer_params,
-)
-from haff_tpu.train.trainer import (
-    init_train_state,
-    make_train_step,
-    partition_params,
+from haff_tpu.data.aff_dataset import AffDataset
+from haff_tpu.pipeline import ops
+from haff_tpu.pipeline.orchestrate import (
+    expand_taxonomy,
+    filter_record,
+    FrameRecord,
+    mask_to_contours,
+    pack_shard,
+    run_pipeline,
 )
 
 
-def test_stack_unstack_roundtrip():
-    params = {
-        f"layers_{i}": {"w": jnp.full((2, 3), i), "b": jnp.full((3,), -i)}
-        for i in range(4)
-    }
-    stacked = stack_layer_params(params, 4)
-    assert stacked["w"].shape == (4, 2, 3)
-    back = unstack_layer_params(stacked, 4)
-    for i in range(4):
-        np.testing.assert_array_equal(back[f"layers_{i}"]["w"],
-                                      params[f"layers_{i}"]["w"])
-        np.testing.assert_array_equal(back[f"layers_{i}"]["b"],
-                                      params[f"layers_{i}"]["b"])
+def test_dilate_matches_cv2():
+    import cv2
 
-
-def test_auto_microbatches():
-    assert auto_microbatches(24, 4) == 8    # 2*stages divides
-    assert auto_microbatches(6, 4) == 6     # batch < 2*stages
-    assert auto_microbatches(9, 4) == 3     # largest divisor <= 8
-    assert auto_microbatches(7, 4) == 7     # prime batch <= target
-    assert auto_microbatches(1, 4) == 1
-
-
-@pytest.fixture(scope="module")
-def tiny_llm():
-    cfg = LlamaConfig(vocab_size=128, hidden_size=32, intermediate_size=64,
-                      num_layers=4, num_heads=4, num_kv_heads=4, head_dim=8,
-                      max_seq_len=64)
-    from haff_tpu.nn.llama import LlamaForCausalLM
-
-    llm = LlamaForCausalLM(cfg=cfg)
     rng = np.random.RandomState(0)
-    B, L = 4, 16
-    ids = jnp.asarray(rng.randint(0, 128, (B, L)))
-    pos = jnp.tile(jnp.arange(L), (B, 1))
-    seg = jnp.ones((B, L), jnp.int32)
-    params = llm.init(jax.random.PRNGKey(0), ids, pos,
-                      method="init_all")["params"]
-    emb = llm.apply({"params": params}, ids, method="embed")
-    return cfg, llm, params, emb, pos, seg
+    m = (rng.rand(2, 32, 32) > 0.95).astype(np.float32)
+    ours = np.asarray(ops.dilate_masks(jnp.asarray(m), 5))
+    for i in range(2):
+        ref = cv2.dilate(m[i].astype(np.uint8), np.ones((5, 5), np.uint8),
+                         iterations=1)
+        np.testing.assert_array_equal(ours[i], ref.astype(np.float32))
 
 
-def test_llama_pipeline_forward_parity(tiny_llm):
-    cfg, llm, params, emb, pos, seg = tiny_llm
-    mesh = build_mesh(MeshConfig(data=2, pp=4))
-    with mesh:
-        logits_ref, hidden_ref, _ = jax.jit(
-            lambda p, e: llm.apply({"params": p}, e, pos, seg))(params, emb)
-        logits_pp, hidden_pp = jax.jit(
-            lambda p, e: pipelined_llm_forward(
-                cfg, p, e, pos, seg, mesh=mesh,
-                num_microbatches=2))(params, emb)
-    np.testing.assert_allclose(np.asarray(logits_pp),
-                               np.asarray(logits_ref), atol=2e-5)
-    np.testing.assert_allclose(np.asarray(hidden_pp),
-                               np.asarray(hidden_ref), atol=2e-5)
+def test_extract_affordance_and():
+    h = np.zeros((1, 8, 8)); h[0, :4] = 1
+    o = np.zeros((1, 8, 8)); o[0, 2:6] = 1
+    aff = np.asarray(ops.extract_affordance(jnp.asarray(h), jnp.asarray(o)))
+    assert aff[0, 2:4].all() and not aff[0, :2].any() and not aff[0, 4:].any()
 
 
-def test_llama_pipeline_grad_parity(tiny_llm):
-    cfg, llm, params, emb, pos, seg = tiny_llm
-    mesh = build_mesh(MeshConfig(data=1, pp=2, tensor=2, fsdp=2))
-
-    def loss_ref(p, e):
-        lg, _, _ = llm.apply({"params": p}, e, pos, seg)
-        return jnp.mean(lg.astype(jnp.float32) ** 2)
-
-    def loss_pp(p, e):
-        lg, _ = pipelined_llm_forward(cfg, p, e, pos, seg, mesh=mesh,
-                                      num_microbatches=4)
-        return jnp.mean(lg.astype(jnp.float32) ** 2)
-
-    with mesh:
-        g_ref = jax.jit(jax.grad(loss_ref))(params, emb)
-        g_pp = jax.jit(jax.grad(loss_pp))(params, emb)
-    flat_ref = jax.tree_util.tree_leaves_with_path(g_ref)
-    flat_pp = jax.tree_util.tree_leaves(g_pp)
-    assert len(flat_ref) == len(flat_pp)
-    for (path, a), b in zip(flat_ref, flat_pp):
-        np.testing.assert_allclose(
-            np.asarray(b), np.asarray(a), atol=5e-6,
-            err_msg=jax.tree_util.keystr(path))
+def test_pad_to_square_leading_edge():
+    x = jnp.ones((1, 4, 6, 3))
+    out = ops.pad_to_square(x)
+    assert out.shape == (1, 6, 6, 3)
+    assert np.asarray(out)[0, :2].sum() == 0  # padded at TOP
+    x2 = jnp.ones((1, 6, 4, 3))
+    out2 = ops.pad_to_square(x2)
+    assert out2.shape == (1, 6, 6, 3)
+    assert np.asarray(out2)[0, :, :2].sum() == 0  # padded at LEFT
 
 
-def test_pipeline_uses_collective_permute(tiny_llm):
-    """The stage hand-off must compile to point-to-point collective
-    permutes (ppermute), not all-gathers."""
-    cfg, llm, params, emb, pos, seg = tiny_llm
-    mesh = build_mesh(MeshConfig(data=2, pp=4))
-    with mesh:
-        txt = jax.jit(
-            lambda p, e: pipelined_llm_forward(
-                cfg, p, e, pos, seg, mesh=mesh, num_microbatches=2)
-        ).lower(params, emb).compile().as_text()
-    assert "collective-permute" in txt
+def test_horizontal_flip_swaps_hands_and_taxonomy():
+    img = jnp.asarray(np.arange(2 * 4 * 4 * 3, dtype=np.float32)
+                      .reshape(2, 4, 4, 3))
+    ml = jnp.zeros((2, 4, 4)).at[:, :, 0].set(1)
+    mr = jnp.zeros((2, 4, 4))
+    tax = jnp.asarray(np.array([[1, 0, 0, 0], [0, 0, 1, 0]], np.float32))
+    fi, fl, fr, ft = ops.horizontal_flip_sample(img, ml, mr, tax)
+    # the left mask became the (mirrored) right mask
+    assert np.asarray(fr)[:, :, -1].all()
+    assert np.asarray(fl).sum() == 0
+    np.testing.assert_array_equal(np.asarray(ft),
+                                  [[0, 1, 0, 0], [0, 0, 1, 0]])
 
 
-def test_pipeline_rejects_sequence_parallel(tiny_llm):
-    cfg, llm, params, emb, pos, seg = tiny_llm
-    cfg_sp = dataclasses.replace(cfg, sequence_parallel=True)
-    mesh = build_mesh(MeshConfig(data=2, pp=4))
-    with pytest.raises(ValueError, match="sequence_parallel"):
-        pipelined_llm_forward(cfg_sp, params, emb, pos, seg, mesh=mesh,
-                              num_microbatches=2)
+def test_expand_taxonomy():
+    assert expand_taxonomy([1, 0, 0], True, False) == [1, 0, 0, 0]
+    assert expand_taxonomy([1, 0, 0], False, True) == [0, 1, 0, 0]
+    assert expand_taxonomy([0, 1, 0], True, True) == [0, 0, 1, 0]
 
 
-def test_pipeline_divisibility_errors(tiny_llm):
-    cfg, llm, params, emb, pos, seg = tiny_llm
-    mesh = build_mesh(MeshConfig(data=1, pp=8))  # 4 layers, 8 stages
-    with pytest.raises(ValueError, match="not divisible"):
-        pipelined_llm_forward(cfg, params, emb, pos, seg, mesh=mesh,
-                              num_microbatches=2)
-    mesh = build_mesh(MeshConfig(data=2, pp=4))
-    with pytest.raises(ValueError, match="num_microbatches"):
-        pipelined_llm_forward(cfg, params, emb, pos, seg, mesh=mesh,
-                              num_microbatches=3)  # batch 4 % 3 != 0
+def test_contours_roundtrip():
+    from haff_tpu.data.aff_dataset import rasterize_contours
+
+    m = np.zeros((32, 32), np.uint8)
+    m[5:15, 8:20] = 1
+    cont = mask_to_contours(m)
+    back = rasterize_contours(cont, (32, 32))
+    np.testing.assert_array_equal(back, m)
 
 
-def lisa_cfg_nodrop():
-    """Tiny LISA with LoRA on but dropout off: the non-pp and pp paths
-    draw dropout masks differently (per-microbatch folds), so exact
-    train-step parity requires rate 0."""
-    cfg = ModelConfig.preset("tiny")
-    return cfg.replace(llama=dataclasses.replace(
-        cfg.llama, lora_rank=2, lora_dropout=0.0))
+def test_pipeline_end_to_end_pack_and_read(tmp_path):
+    rng = np.random.RandomState(0)
+    n, H, W = 6, 64, 80
+    frames = rng.randint(0, 255, (n, H, W, 3), np.uint8)
+    hl = np.zeros((n, H, W), np.uint8)
+    hl[:, 20:35, 10:30] = 1
+    hr = np.zeros((n, H, W), np.uint8)
+    hr[:, 20:35, 50:70] = 1
+    obj = np.zeros((n, H, W), np.uint8)
+    obj[:, 25:40, 5:75] = 1
+    narrations = ["open drawer"] * n
+    tax3 = np.tile(np.array([[0.0, 1.0, 0.0]]), (n, 1))
+
+    shards = run_pipeline(frames, hl, hr, obj, narrations, tax3,
+                          str(tmp_path), shard_name="P99")
+    assert len(shards) == 1
+
+    ds = AffDataset(str(tmp_path), samples_per_epoch=4, seed=0)
+    assert ds.size == n
+    s = ds.get(0)
+    assert s.mask_left.sum() > 0 and s.mask_right.sum() > 0
+    assert s.taxonomy.tolist() == [0, 0, 1, 0]
+    assert "open drawer" in s.question
 
 
-def test_lisa_train_step_pp_parity():
-    """One full LISA train step (loss + grads + optimizer update) under
-    a (data 2, pipe 2, tensor 2) mesh matches the single-program step
-    to float tolerance."""
-    cfg = lisa_cfg_nodrop()
-    model = LisaModel(cfg=cfg)
-    batch = make_tiny_batch(cfg)
-    variables = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
-    params = nn.unbox(variables["params"])
-    trainable, frozen = partition_params(params)
-    tcfg = TrainConfig(model=cfg, lr=1e-3, warmup_steps=1, total_steps=10,
-                       grad_accumulation_steps=1)
-
-    # batch of 4 rows so it shards over data*fsdp and splits into
-    # microbatches
-    batch4 = jax.tree_util.tree_map(
-        lambda x: np.concatenate([np.asarray(x)] * 2)[:4]
-        if x.shape else np.asarray(x), batch)
-    batch4 = TrainBatch(*[jnp.asarray(x) for x in batch4])
-    batch4 = batch4._replace(
-        image_index=jnp.asarray([0, 1, 0, 1], jnp.int32))
-
-    rng = jax.random.PRNGKey(0)
-    state0 = init_train_state(tcfg, trainable)
-    ref_step = jax.jit(make_train_step(model, tcfg))
-    state_ref, metrics_ref = ref_step(state0, frozen, batch4, rng)
-
-    mesh = build_mesh(MeshConfig(data=2, pp=2, tensor=2))
-    with mesh:
-        pp_step = jax.jit(make_train_step(model, tcfg, mesh=mesh))
-        state_pp, metrics_pp = pp_step(state0, frozen, batch4, rng)
-
-    for k in ("loss", "ce_loss", "mask_bce_loss", "mask_dice_loss",
-              "taxonomy_ce_loss"):
-        np.testing.assert_allclose(float(metrics_pp[k]),
-                                   float(metrics_ref[k]), atol=1e-4,
-                                   err_msg=k)
-    # updated trainable params agree
-    flat_ref = jax.tree_util.tree_leaves_with_path(state_ref.trainable)
-    flat_pp = jax.tree_util.tree_leaves(state_pp.trainable)
-    for (path, a), b in zip(flat_ref, flat_pp):
-        np.testing.assert_allclose(
-            np.asarray(b), np.asarray(a), atol=1e-4,
-            err_msg=jax.tree_util.keystr(path))
+def test_filter_rejects_bad_records():
+    img = np.zeros((16, 16, 3), np.uint8)
+    good = np.zeros((16, 16), np.uint8)
+    good[2:10, 2:10] = 1  # 64 px
+    assert filter_record(FrameRecord(inpainted=img, narration="cut onion",
+                                     taxonomy=[1, 0, 0, 0], aff_left=good))
+    # excluded verb
+    assert not filter_record(
+        FrameRecord(inpainted=img, narration="look around",
+                    taxonomy=[1, 0, 0, 0], aff_left=good))
+    # empty masks
+    assert not filter_record(
+        FrameRecord(inpainted=img, narration="cut onion",
+                    taxonomy=[1, 0, 0, 0]))
+    # area too small
+    tiny = np.zeros((16, 16), np.uint8)
+    tiny[0, :4] = 1
+    assert not filter_record(
+        FrameRecord(inpainted=img, narration="cut onion",
+                    taxonomy=[1, 0, 0, 0], aff_left=tiny))
 
 
-def test_lisa_train_step_pp_with_dropout_runs():
-    """With LoRA dropout active the pp step still runs (per-stage/
-    microbatch rng folds) and produces a finite loss."""
-    cfg = ModelConfig.preset("tiny")
-    cfg = cfg.replace(llama=dataclasses.replace(cfg.llama, lora_rank=2))
-    model = LisaModel(cfg=cfg)
-    batch = make_tiny_batch(cfg)
-    params = nn.unbox(jax.jit(model.init)(jax.random.PRNGKey(0),
-                                          batch)["params"])
-    trainable, frozen = partition_params(params)
-    tcfg = TrainConfig(model=cfg, lr=1e-3, warmup_steps=1, total_steps=10,
-                       grad_accumulation_steps=1)
-    batch4 = jax.tree_util.tree_map(
-        lambda x: np.concatenate([np.asarray(x)] * 2)[:4]
-        if x.shape else np.asarray(x), batch)
-    batch4 = TrainBatch(*[jnp.asarray(x) for x in batch4])
-    batch4 = batch4._replace(image_index=jnp.asarray([0, 1, 0, 1],
-                                                     jnp.int32))
-    mesh = build_mesh(MeshConfig(data=4, pp=2))
-    state = init_train_state(tcfg, trainable)
-    with mesh:
-        step = jax.jit(make_train_step(model, tcfg, mesh=mesh))
-        state, metrics = step(state, frozen, batch4, jax.random.PRNGKey(1))
-    assert np.isfinite(float(metrics["loss"]))
+def test_default_propagate_tracks_moving_square():
+    """Stage-2 default: a square translating 2 px/frame is tracked from
+    a frame-0 seed through 8 frames (XMem-submodule analog,
+    pipeline/defaults.py)."""
+    from haff_tpu.pipeline.defaults import default_propagate
+
+    n, H, W = 8, 64, 64
+    frames = np.full((n, H, W, 3), 30, np.uint8)
+    seed_obj = np.zeros((H, W), np.uint8)
+    for t in range(n):
+        y, x = 16, 8 + 2 * t
+        frames[t, y:y + 16, x:x + 16] = 200
+    seed_obj[16:32, 8:24] = 1
+    seed_l = np.zeros((H, W), np.uint8)
+    seed_l[40:48, 8:16] = 1  # static "hand" patch
+    frames[:, 40:48, 8:16] = 120
+    left, right, obj = default_propagate(frames, seed_l, seed_l, seed_obj)
+    assert obj.shape == (n, H, W)
+    # last frame: predicted object overlaps the true square well
+    true = np.zeros((H, W), bool)
+    true[16:32, 8 + 2 * (n - 1):24 + 2 * (n - 1)] = True
+    pred = obj[-1] > 0
+    inter = (pred & true).sum()
+    union = (pred | true).sum()
+    assert inter / max(union, 1) > 0.4, inter / max(union, 1)
+    # static hand stays put
+    assert left[-1, 42, 10] > 0
+
+
+def test_default_inpaint_fills_from_time():
+    """Stage-4 default: pixels occluded in one frame are filled from a
+    frame where they are visible; never-visible pixels get diffusion."""
+    from haff_tpu.pipeline.defaults import default_inpaint
+
+    n, H, W = 4, 32, 32
+    frames = np.full((n, H, W, 3), 50, np.uint8)
+    frames[:, :, :, 1] = 90
+    masks = np.zeros((n, H, W), np.uint8)
+    # hand covers a moving strip; each pixel visible in some frame
+    for t in range(n):
+        masks[t, :, 8 * t // 2: 8 * t // 2 + 6] = 1
+        frames[t, :, 8 * t // 2: 8 * t // 2 + 6] = 255
+    out = default_inpaint(frames, masks)
+    assert out.shape == frames.shape
+    # occluded strip in frame 0 is filled with background, not 255
+    assert abs(int(out[0, 16, 2, 0]) - 50) < 12, out[0, 16, 2]
+    assert (out[np.asarray(masks) == 0] ==
+            frames[np.asarray(masks) == 0]).all()
+
+
+def test_run_pipeline_from_video_end_to_end(tmp_path):
+    """Raw synthetic clip + frame-0 seeds -> valid shards consumed by
+    AffDataset, using ONLY in-repo default stages (VERDICT item 6)."""
+    from haff_tpu.pipeline.orchestrate import run_pipeline_from_video
+
+    n, H, W = 6, 64, 64
+    frames = np.full((n, H, W, 3), 40, np.uint8)
+    seed_obj = np.zeros((H, W), np.uint8)
+    seed_l = np.zeros((H, W), np.uint8)
+    seed_r = np.zeros((H, W), np.uint8)
+    frames[:, 24:40, 24:40] = 220          # static object
+    seed_obj[24:40, 24:40] = 1
+    frames[:, 28:36, 20:28] = 140          # left hand overlapping object
+    seed_l[28:36, 20:28] = 1
+    frames[:, 28:36, 36:44] = 160          # right hand overlapping object
+    seed_r[28:36, 36:44] = 1
+
+    shards = run_pipeline_from_video(
+        frames, seed_l, seed_r, seed_obj, "cut onion", [0.0, 1.0, 0.0],
+        str(tmp_path), shard_size=16, dilate_factor=3)
+    assert shards, "no shards packed"
+    ds = AffDataset(str(tmp_path), samples_per_epoch=4, seed=0)
+    s = ds.get(0)
+    assert s.image.shape[2] == 3
+    assert (np.asarray(s.mask_left).sum() > 0
+            or np.asarray(s.mask_right).sum() > 0)
+    assert "cut onion" in s.question
+
+
+def test_cli_video_acquisition_end_to_end(tmp_path):
+    """Stage-1 acquisition analog: pipeline CLI --video decodes a raw
+    clip (cv2), reads frame-0 seeds, and runs the full default pipeline
+    to shards (reference analog: EPIC download + pipeline.bash stage 1
+    feeding the submodule stages)."""
+    import cv2
+
+    from haff_tpu.pipeline.cli import acquire_video, main
+
+    n, H, W = 6, 64, 64
+    frames = np.full((n, H, W, 3), 40, np.uint8)
+    frames[:, 24:40, 24:40] = 220
+    frames[:, 28:36, 20:28] = 140
+    frames[:, 28:36, 36:44] = 160
+    vid_path = str(tmp_path / "clip.avi")
+    vw = cv2.VideoWriter(vid_path, cv2.VideoWriter_fourcc(*"MJPG"), 10,
+                         (W, H))
+    for f in frames:
+        vw.write(cv2.cvtColor(f, cv2.COLOR_RGB2BGR))
+    vw.release()
+
+    got = acquire_video(vid_path, stride=2)
+    assert got.shape == (3, H, W, 3)
+
+    seeds = tmp_path / "seeds"
+    seeds.mkdir()
+    for name, box in (("hand_left.png", (28, 36, 20, 28)),
+                      ("hand_right.png", (28, 36, 36, 44)),
+                      ("object.png", (24, 40, 24, 40))):
+        m = np.zeros((H, W), np.uint8)
+        y0, y1, x0, x1 = box
+        m[y0:y1, x0:x1] = 255
+        cv2.imwrite(str(seeds / name), m)
+    (seeds / "annotation.json").write_text(
+        '{"narration": "cut onion", "taxonomy3": [0.0, 1.0, 0.0]}')
+
+    out = tmp_path / "out"
+    main(["--video", vid_path, "--seeds_dir", str(seeds),
+          "--out_dir", str(out), "--shard_size", "16", "--dilate", "3"])
+    ds = AffDataset(str(out), samples_per_epoch=2, seed=0)
+    s = ds.get(0)
+    assert "cut onion" in s.question

@@ -323,12 +323,15 @@ def cmd_w8a8(interpret=False, n=8):
 
         def bench(name, f, *args):
             @jax.jit
-            def run(*a):
-                def body(i, acc):
-                    o = f(*a)
-                    return acc + jnp.sum(o.astype(jnp.float32)) * 1e-30
-                return jax.lax.fori_loop(0, n, body,
-                                         jnp.zeros((), jnp.float32))
+            def run(x0, *a):
+                # carry feeds the activation so the loop body is NOT
+                # loop-invariant (XLA would hoist a constant matmul out)
+                def body(i, xx):
+                    o = f(xx, *a)
+                    return xx + jnp.mean(o.astype(jnp.float32)).astype(
+                        xx.dtype) * 1e-30
+                out = jax.lax.fori_loop(0, n, body, x0)
+                return jnp.sum(out.astype(jnp.float32))
             try:
                 dt = timeit(run, *args, n=n)
                 tput = 2 * M * K * N / dt / 1e12
@@ -369,7 +372,10 @@ def cmd_w4a16(n=25):
         def chain(x):
             def body(_, c):
                 y = fn(c)
-                return c + 1e-6 * y[:, : x.shape[1]].astype(x.dtype)
+                # scalar feedback keeps the chain carry-dependent for
+                # any (K, N) relation (a [:, :K] slice breaks for N < K)
+                return c + jnp.mean(y.astype(jnp.float32)).astype(
+                    c.dtype) * 1e-6
             return jnp.sum(jax.lax.fori_loop(0, n, body, x))
         return timeit(jax.jit(chain), x, n=n)
 
