@@ -49,19 +49,22 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..core.mesh import PIPE_AXIS
 
 
-def stack_layer_params(model_params: dict, num_layers: int) -> Any:
+def stack_layer_params(model_params: dict, num_layers: int,
+                       prefix: str = "layers_") -> Any:
     """`{"layers_0": tree, ..., "layers_{n-1}": tree}` -> one tree with
     every leaf stacked on a new leading (num_layers,) dim. All layers
     must share a tree structure (true for the homogeneous decoder
-    stacks; LoRA ranks are per-config, not per-layer)."""
-    layers = [model_params[f"layers_{i}"] for i in range(num_layers)]
+    stacks; LoRA ranks are per-config, not per-layer). `prefix` selects
+    the per-layer naming scheme ("layers_" llama, "blocks_" MPT)."""
+    layers = [model_params[f"{prefix}{i}"] for i in range(num_layers)]
     return jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *layers)
 
 
-def unstack_layer_params(stacked: Any, num_layers: int) -> dict:
+def unstack_layer_params(stacked: Any, num_layers: int,
+                         prefix: str = "layers_") -> dict:
     """Inverse of stack_layer_params (host-side: checkpoint conversion)."""
     return {
-        f"layers_{i}": jax.tree_util.tree_map(lambda x: x[i], stacked)
+        f"{prefix}{i}": jax.tree_util.tree_map(lambda x: x[i], stacked)
         for i in range(num_layers)
     }
 
@@ -255,6 +258,49 @@ def pipelined_llm_forward(
     return logits, hidden
 
 
+def pipelined_mpt_forward(
+    cfg,
+    params: dict,
+    inputs_embeds: jnp.ndarray,
+    segment_ids: Optional[jnp.ndarray],
+    *,
+    mesh: Mesh,
+    num_microbatches: int,
+    dtype=jnp.float32,
+    param_dtype=jnp.float32,
+    remat: bool = True,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """MptForCausalLM.__call__ semantics (logits, hidden) with the
+    blocks pipelined. ALiBi needs no positions; prefix-LM masking is a
+    non-LISA path and stays single-program. `params` is the
+    MptForCausalLM subtree (wte/blocks_i/norm_f)."""
+    import flax.linen as nn
+
+    from ..nn.mpt import MptBlock
+
+    block = MptBlock(cfg=cfg, dtype=dtype, param_dtype=param_dtype)
+
+    def block_fn(p, x, segment_ids, rng=None):
+        y, _ = block.apply({"params": p}, x, segment_ids)
+        return y
+
+    if segment_ids is None:
+        segment_ids = jnp.ones(inputs_embeds.shape[:2], jnp.int32)
+    stacked = stack_layer_params(params, cfg.n_layers, prefix="blocks_")
+    x = pipeline_blocks(
+        block_fn, stacked, (inputs_embeds.astype(dtype), segment_ids),
+        mesh=mesh, num_microbatches=num_microbatches, remat=remat)
+
+    norm = nn.LayerNorm(epsilon=cfg.layer_norm_eps, use_bias=False,
+                        dtype=jnp.float32, param_dtype=param_dtype)
+    hidden = norm.apply({"params": params["norm_f"]}, x).astype(dtype)
+    embed = nn.Embed(cfg.vocab_size, cfg.d_model, dtype=dtype,
+                     param_dtype=param_dtype)
+    logits = embed.apply({"params": params["wte"]}, hidden,
+                         method="attend")  # tied head
+    return logits, hidden
+
+
 def pipelined_lisa_forward(
     model,
     params: dict,
@@ -267,18 +313,31 @@ def pipelined_lisa_forward(
 ):
     """LisaModel.__call__ with the decoder pipelined (model/lisa.py
     splice_inputs -> pipelined blocks -> finish_outputs). `params` is
-    the unboxed LisaModel param dict; returns LisaOutputs."""
-    if model.cfg.decoder != "llama":
-        raise NotImplementedError(
-            "pipeline parallelism is implemented for the llama decoder")
+    the unboxed LisaModel param dict; returns LisaOutputs. Both decoder
+    families route through the engine (llama / MPT)."""
     sam_emb, sp = model.apply(
         {"params": params}, batch, method="splice_inputs", rngs=rngs)
     rng = rngs.get("dropout") if rngs else None
-    logits, hidden = pipelined_llm_forward(
-        model.cfg.llama, params["llm"], sp.embeds, sp.positions,
-        sp.segment_ids, mesh=mesh, num_microbatches=num_microbatches,
-        dtype=model.dtype, param_dtype=model.param_dtype,
-        deterministic=deterministic, rng=rng, remat=model.remat)
+    if model.cfg.decoder == "mpt":
+        from ..nn.mpt import MptConfig
+
+        mpt_cfg = MptConfig(
+            vocab_size=model.cfg.llama.vocab_size,
+            d_model=model.cfg.llama.hidden_size,
+            n_heads=model.cfg.llama.num_heads,
+            n_layers=model.cfg.llama.num_layers,
+            max_seq_len=model.cfg.llama.max_seq_len)
+        logits, hidden = pipelined_mpt_forward(
+            mpt_cfg, params["llm"], sp.embeds, sp.segment_ids,
+            mesh=mesh, num_microbatches=num_microbatches,
+            dtype=model.dtype, param_dtype=model.param_dtype,
+            remat=model.remat)
+    else:
+        logits, hidden = pipelined_llm_forward(
+            model.cfg.llama, params["llm"], sp.embeds, sp.positions,
+            sp.segment_ids, mesh=mesh, num_microbatches=num_microbatches,
+            dtype=model.dtype, param_dtype=model.param_dtype,
+            deterministic=deterministic, rng=rng, remat=model.remat)
     return model.apply(
         {"params": params}, batch, sam_emb, sp, logits, hidden,
         method="finish_outputs", rngs=rngs)

@@ -157,6 +157,62 @@ def test_pipeline_divisibility_errors(tiny_llm):
                               num_microbatches=3)  # batch 4 % 3 != 0
 
 
+def test_mpt_pipeline_forward_parity():
+    """The MPT decoder family pipelines through the same engine
+    (blocks_i stacking, ALiBi needs no positions, tied head)."""
+    from haff_tpu.nn.mpt import MptConfig, MptForCausalLM
+    from haff_tpu.parallel.pipeline import pipelined_mpt_forward
+
+    cfg = MptConfig.preset("tiny")
+    llm = MptForCausalLM(cfg=cfg)
+    rng = np.random.RandomState(0)
+    B, L = 4, 16
+    ids = jnp.asarray(rng.randint(0, cfg.vocab_size, (B, L)))
+    seg = jnp.ones((B, L), jnp.int32)
+    params = llm.init(jax.random.PRNGKey(0), ids,
+                      method="init_all")["params"]
+    emb = llm.apply({"params": params}, ids, method="embed")
+    mesh = build_mesh(MeshConfig(data=4, pp=2))
+    with mesh:
+        logits_ref, hidden_ref, _ = jax.jit(
+            lambda p, e: llm.apply({"params": p}, e,
+                                   segment_ids=seg))(params, emb)
+        logits_pp, hidden_pp = jax.jit(
+            lambda p, e: pipelined_mpt_forward(
+                cfg, p, e, seg, mesh=mesh,
+                num_microbatches=2))(params, emb)
+    np.testing.assert_allclose(np.asarray(logits_pp),
+                               np.asarray(logits_ref), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(hidden_pp),
+                               np.asarray(hidden_ref), atol=2e-5)
+
+
+def test_lisa_mpt_decoder_pipeline_dispatch():
+    """pipelined_lisa_forward routes the MPT decoder family through the
+    engine and matches the plain composite forward."""
+    from haff_tpu.parallel.pipeline import pipelined_lisa_forward
+
+    cfg = dataclasses.replace(ModelConfig.preset("tiny"), decoder="mpt")
+    model = LisaModel(cfg=cfg)
+    batch = make_tiny_batch(cfg)
+    params = nn.unbox(jax.jit(model.init)(jax.random.PRNGKey(0),
+                                          batch)["params"])
+    batch4 = jax.tree_util.tree_map(
+        lambda x: np.concatenate([np.asarray(x)] * 2)[:4]
+        if x.shape else np.asarray(x), batch)
+    batch4 = TrainBatch(*[jnp.asarray(x) for x in batch4])
+    batch4 = batch4._replace(image_index=jnp.asarray([0, 1, 0, 1],
+                                                     jnp.int32))
+    out_ref = jax.jit(lambda p, b: model.apply({"params": p}, b))(
+        params, batch4)
+    mesh = build_mesh(MeshConfig(data=4, pp=2))
+    with mesh:
+        out_pp = jax.jit(lambda p, b: pipelined_lisa_forward(
+            model, p, b, mesh=mesh, num_microbatches=2))(params, batch4)
+    np.testing.assert_allclose(float(out_pp.loss), float(out_ref.loss),
+                               atol=1e-4)
+
+
 def lisa_cfg_nodrop():
     """Tiny LISA with LoRA on but dropout off: the non-pp and pp paths
     draw dropout masks differently (per-microbatch folds), so exact
