@@ -298,6 +298,35 @@ def test_lisa_eval_step_pp_matches_plain():
                                atol=1e-3)
 
 
+def test_lisa_pp_with_w8a8_quantized_params():
+    """Pipeline engine composes with in-tree W8A8 serving: QDense int8
+    kernels + scales stack per layer and produce the same loss as the
+    single-program quantized forward."""
+    from haff_tpu.nn.quant import lisa_serving_predicate, quantize_dense_tree
+    from haff_tpu.parallel.pipeline import pipelined_lisa_forward
+
+    cfg = lisa_cfg_nodrop()
+    model = LisaModel(cfg=cfg)
+    batch = make_tiny_batch(cfg)
+    params = nn.unbox(jax.jit(model.init)(jax.random.PRNGKey(0),
+                                          batch)["params"])
+    qparams = quantize_dense_tree(params, lisa_serving_predicate)
+    batch4 = jax.tree_util.tree_map(
+        lambda x: np.concatenate([np.asarray(x)] * 2)[:4]
+        if x.shape else np.asarray(x), batch)
+    batch4 = TrainBatch(*[jnp.asarray(x) for x in batch4])
+    batch4 = batch4._replace(image_index=jnp.asarray([0, 1, 0, 1],
+                                                     jnp.int32))
+    out_ref = jax.jit(lambda p, b: model.apply({"params": p}, b))(
+        qparams, batch4)
+    mesh = build_mesh(MeshConfig(data=4, pp=2))
+    with mesh:
+        out_pp = jax.jit(lambda p, b: pipelined_lisa_forward(
+            model, p, b, mesh=mesh, num_microbatches=2))(qparams, batch4)
+    np.testing.assert_allclose(float(out_pp.loss), float(out_ref.loss),
+                               atol=1e-4)
+
+
 def test_lisa_train_step_pp_with_dropout_runs():
     """With LoRA dropout active the pp step still runs (per-stage/
     microbatch rng folds) and produces a finite loss."""
