@@ -98,6 +98,34 @@ def test_infer_cli_and_benchmark_eval(synth_data, tmp_path):
     assert result["best_threshold"] is not None
 
 
+def test_train_cli_pp_micro_run(synth_data, tmp_path):
+    """--pp 2: the full train CLI with the decoder pipelined over the
+    mesh's pipe axis (8 virtual devices -> data=4, pipe=2)."""
+    from haff_tpu.train.cli import main
+
+    shards, bench = synth_data
+    main([
+        "--dataset_dir", shards, "--val_benchmark_dir", bench,
+        "--model_preset", "tiny", "--epochs", "1", "--steps_per_epoch",
+        "2", "--batch_size", "4", "--grad_accum", "1", "--lr", "1e-3",
+        "--warmup_steps", "0", "--model_max_length", "448",
+        "--log_base_dir", str(tmp_path / "runs"), "--exp_name", "tpp",
+        "--print_freq", "1", "--no_remat", "--val_batch_size", "2",
+        "--pp", "2",
+    ])
+    ckpt = tmp_path / "runs" / "tpp" / "ckpt_model"
+    assert ckpt.is_dir() and any(ckpt.iterdir())
+
+
+def test_train_cli_pp_rejects_sp():
+    from haff_tpu.train.cli import main
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(["--dataset_dir", "/nonexistent", "--pp", "2", "--sp", "2",
+              "--model_preset", "tiny"])
+
+
 def test_train_cli_hybrid_mix(synth_data, tmp_path):
     """--dataset affordance||reason_seg with sample_rates drives the
     HybridDataset mixing path (reference train_ds.py --dataset /
