@@ -70,6 +70,15 @@ class LlamaConfig:
     # with the sequence sharded over that axis
     # (parallel/ring_attention.py). Beyond-parity long-context scaling.
     sequence_parallel: bool = False
+    # Mixture-of-Experts decoder MLPs (nn/moe.py; beyond-parity — the
+    # reference decoders are dense). 0 = dense. When > 0, layer i uses
+    # an MoE MLP iff i % moe_every == moe_every - 1 (every=1: all
+    # layers; every=2: GLaM-style interleave starting at the 2nd).
+    moe_num_experts: int = 0
+    moe_top_k: int = 2
+    moe_capacity_factor: float = 1.25
+    moe_every: int = 1
+    moe_aux_weight: float = 0.01  # Switch load-balance loss weight
 
     @staticmethod
     def preset(name: str) -> "LlamaConfig":
@@ -230,12 +239,13 @@ class LoraConfig:
 @dataclass(frozen=True)
 class MeshConfig:
     """Device mesh layout. Axes: data (DP/ZeRO), pp (pipeline stages),
-    fsdp (param shard), sp (sequence parallelism / ring attention),
-    tensor (TP)."""
+    fsdp (param shard), expert (MoE expert parallelism), sp (sequence
+    parallelism / ring attention), tensor (TP)."""
 
     data: int = -1  # -1: fill with remaining devices
     pp: int = 1
     fsdp: int = 1
+    ep: int = 1
     sp: int = 1
     tensor: int = 1
 

@@ -11,6 +11,8 @@ The reference's distributed runtime is DeepSpeed ZeRO-2 over NCCL
              ppermutes, so this axis tolerates the slowest links and
              sits right after `data` in the device order)
     fsdp   — parameter sharding (fully-sharded data parallel)
+    expert — MoE expert parallelism (nn/moe.py; dispatch/combine
+             all-to-alls ride ICI between this axis and the batch axes)
     sp     — sequence parallelism (ring attention)
     tensor — tensor parallelism over attention heads / MLP columns (ICI)
 
@@ -33,37 +35,39 @@ from .config import MeshConfig
 DATA_AXIS = "data"
 PIPE_AXIS = "pipe"
 FSDP_AXIS = "fsdp"
+EXPERT_AXIS = "expert"
 SP_AXIS = "sp"
 TENSOR_AXIS = "tensor"
-AXES = (DATA_AXIS, PIPE_AXIS, FSDP_AXIS, SP_AXIS, TENSOR_AXIS)
+AXES = (DATA_AXIS, PIPE_AXIS, FSDP_AXIS, EXPERT_AXIS, SP_AXIS, TENSOR_AXIS)
 
 
 def build_mesh(cfg: MeshConfig = MeshConfig(),
                devices: Optional[Sequence[jax.Device]] = None) -> Mesh:
-    """Build a 5-axis mesh, filling the `data` axis with leftover devices."""
+    """Build a 6-axis mesh, filling the `data` axis with leftover devices."""
     devices = list(devices if devices is not None else jax.devices())
     n = len(devices)
     pipe = max(1, getattr(cfg, "pp", 1))
     fsdp = max(1, cfg.fsdp)
+    ep = max(1, getattr(cfg, "ep", 1))
     sp = max(1, getattr(cfg, "sp", 1))
     tensor = max(1, cfg.tensor)
-    model = pipe * fsdp * sp * tensor
+    model = pipe * fsdp * ep * sp * tensor
     if cfg.data == -1:
         if n % model != 0:
             raise ValueError(
-                f"{n} devices not divisible by pp*fsdp*sp*tensor={model}")
+                f"{n} devices not divisible by pp*fsdp*ep*sp*tensor={model}")
         data = n // model
     else:
         data = cfg.data
     if data * model != n:
         raise ValueError(
-            f"mesh {data}x{pipe}x{fsdp}x{sp}x{tensor} != {n} devices")
-    arr = np.array(devices).reshape(data, pipe, fsdp, sp, tensor)
+            f"mesh {data}x{pipe}x{fsdp}x{ep}x{sp}x{tensor} != {n} devices")
+    arr = np.array(devices).reshape(data, pipe, fsdp, ep, sp, tensor)
     return Mesh(arr, AXES)
 
 
 def single_device_mesh() -> Mesh:
-    return Mesh(np.array(jax.devices()[:1]).reshape(1, 1, 1, 1, 1), AXES)
+    return Mesh(np.array(jax.devices()[:1]).reshape(1, 1, 1, 1, 1, 1), AXES)
 
 
 _MESH_STACK: list[Mesh] = []

@@ -275,26 +275,39 @@ class LlamaBlock(nn.Module):
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
     deterministic: bool = True
+    layer_idx: int = 0
 
     @nn.compact
     def __call__(self, x, positions, segment_ids=None, kv_cache=None,
                  cache_index=None, cache_kv_segment_ids=None):
+        cfg = self.cfg
         attn_out, new_cache = LlamaAttention(
-            cfg=self.cfg, dtype=self.dtype, param_dtype=self.param_dtype,
+            cfg=cfg, dtype=self.dtype, param_dtype=self.param_dtype,
             deterministic=self.deterministic,
             name="self_attn")(
-                RMSNorm(eps=self.cfg.rms_norm_eps,
+                RMSNorm(eps=cfg.rms_norm_eps,
                         param_dtype=self.param_dtype,
                         name="input_layernorm")(x),
                 positions, segment_ids, kv_cache, cache_index,
                 cache_kv_segment_ids)
         x = x + attn_out
-        mlp_out = LlamaMLP(
-            cfg=self.cfg, dtype=self.dtype, param_dtype=self.param_dtype,
-            name="mlp")(
-                RMSNorm(eps=self.cfg.rms_norm_eps,
-                        param_dtype=self.param_dtype,
-                        name="post_attention_layernorm")(x))
+        # MoE layers (cfg.moe_num_experts > 0, interleave via moe_every)
+        # keep the param name "mlp" distinct ("moe") so dense checkpoints
+        # never silently half-load into an MoE tree.
+        is_moe = (cfg.moe_num_experts > 0
+                  and self.layer_idx % cfg.moe_every == cfg.moe_every - 1)
+        if is_moe:
+            from .moe import MoEMLP
+
+            mlp = MoEMLP(cfg=cfg, dtype=self.dtype,
+                         param_dtype=self.param_dtype, name="moe")
+        else:
+            mlp = LlamaMLP(cfg=cfg, dtype=self.dtype,
+                           param_dtype=self.param_dtype, name="mlp")
+        mlp_out = mlp(
+            RMSNorm(eps=cfg.rms_norm_eps,
+                    param_dtype=self.param_dtype,
+                    name="post_attention_layernorm")(x))
         return x + mlp_out, new_cache
 
 
@@ -326,6 +339,7 @@ class LlamaModel(nn.Module):
                 cfg=self.cfg, dtype=self.dtype,
                 param_dtype=self.param_dtype,
                 deterministic=bool(deterministic),
+                layer_idx=i,
                 name=f"layers_{i}")(
                     x, positions, segment_ids, cache, cache_index,
                     cache_kv_segment_ids)

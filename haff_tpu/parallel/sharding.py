@@ -20,7 +20,7 @@ import flax.linen as nn
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..core.mesh import DATA_AXIS, FSDP_AXIS, TENSOR_AXIS
+from ..core.mesh import DATA_AXIS, EXPERT_AXIS, FSDP_AXIS, TENSOR_AXIS
 from ..nn.llama import EMBED, HEADS, KV_HEADS, MLP, VOCAB
 
 # logical name -> mesh axis (None = replicated)
@@ -31,6 +31,7 @@ LOGICAL_RULES = (
     (HEADS, TENSOR_AXIS),
     (KV_HEADS, TENSOR_AXIS),
     (MLP, TENSOR_AXIS),
+    ("experts", EXPERT_AXIS),  # stacked MoE expert weights (nn/moe.py)
     ("head_dim", None),
 )
 

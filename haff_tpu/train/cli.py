@@ -111,6 +111,19 @@ def parse_args(argv=None):
     p.add_argument("--pp_microbatches", type=int, default=0,
                    help="GPipe microbatches per step (0 = auto, the "
                         "largest batch divisor <= 2*pp)")
+    p.add_argument("--ep", type=int, default=1,
+                   help="expert-parallel mesh axis size; shards MoE "
+                        "expert weights (nn/moe.py) — only useful with "
+                        "--moe_experts > 0")
+    p.add_argument("--moe_experts", type=int, default=0,
+                   help="Mixture-of-Experts decoder MLPs with this many "
+                        "experts (0 = dense, the reference "
+                        "architecture); experts+router become "
+                        "trainable")
+    p.add_argument("--moe_top_k", type=int, default=2)
+    p.add_argument("--moe_every", type=int, default=1,
+                   help="MoE layer interleave (1 = every layer, 2 = "
+                        "every other)")
     # logging / ckpt
     p.add_argument("--exp_name", default="haff_tpu")
     p.add_argument("--log_base_dir", default="./runs")
@@ -195,7 +208,9 @@ def main(argv=None):
             lora_targets=tuple(
                 m for m in args.lora_target_modules.split(",") if m),
             vocab_size=max(base.llama.vocab_size, len(tok) + 4),
-            sequence_parallel=args.sp > 1),
+            sequence_parallel=args.sp > 1,
+            moe_num_experts=args.moe_experts, moe_top_k=args.moe_top_k,
+            moe_every=args.moe_every),
     )
     tcfg = TrainConfig(
         model=cfg, lr=args.lr, beta1=args.beta1, beta2=args.beta2,
@@ -211,8 +226,16 @@ def main(argv=None):
         raise SystemExit(
             "--pp cannot be combined with --sp (ring attention); "
             "use pp x tensor x data instead")
+    if args.pp > 1 and args.moe_experts > 0:
+        raise SystemExit(
+            "--pp cannot be combined with --moe_experts (the GPipe "
+            "engine stacks homogeneous per-layer params); use "
+            "data x fsdp x ep x tensor instead")
+    if args.moe_experts == 0 and args.ep > 1:
+        raise SystemExit("--ep > 1 requires --moe_experts > 0")
     mesh = build_mesh(MeshConfig(data=-1, pp=args.pp, fsdp=args.fsdp,
-                                 sp=args.sp, tensor=args.tensor))
+                                 ep=args.ep, sp=args.sp,
+                                 tensor=args.tensor))
     dtype = jnp.bfloat16 if args.precision == "bf16" else jnp.float32
     model = LisaModel(cfg=cfg, dtype=dtype, remat=not args.no_remat)
 
@@ -308,7 +331,8 @@ def main(argv=None):
         lambda x, s: jax.device_put(x, s), params, shardings)
     exclude = () if args.train_mask_decoder else (
         "mask_decoder_left", "mask_decoder_right")
-    trainable, frozen = partition_params(params, exclude)
+    extra = ("moe",) if args.moe_experts > 0 else ()
+    trainable, frozen = partition_params(params, exclude, extra)
     print(f"trainable params: {count_params(trainable):,} / "
           f"{count_params(trainable) + count_params(frozen):,}")
 

@@ -35,23 +35,26 @@ TRAINABLE_KEYS = ("lora_a", "lora_b", "embed_tokens", "lm_head",
 
 
 def trainable_mask_path(path: Tuple[str, ...],
-                        exclude: Tuple[str, ...] = ()) -> bool:
+                        exclude: Tuple[str, ...] = (),
+                        extra: Tuple[str, ...] = ()) -> bool:
     """Reference freezing semantics (train_ds.py:192-244). `exclude`
     removes keys from the trainable set (e.g. the mask decoders when
-    --train_mask_decoder is off)."""
-    keys = tuple(k for k in TRAINABLE_KEYS if k not in exclude)
+    --train_mask_decoder is off); `extra` adds keys (e.g. "moe" to
+    train MoE experts+router, which sit outside the reference set)."""
+    keys = tuple(k for k in TRAINABLE_KEYS if k not in exclude) + extra
     return any(k in path for k in keys)
 
 
-def partition_params(params: Dict, exclude: Tuple[str, ...] = ()
+def partition_params(params: Dict, exclude: Tuple[str, ...] = (),
+                     extra: Tuple[str, ...] = ()
                      ) -> Tuple[Dict, Dict]:
     """params (unboxed dict) -> (trainable, frozen) with identical tree
     structure positions (missing branches pruned)."""
     flat = traverse_util.flatten_dict(params)
     train = {k: v for k, v in flat.items()
-             if trainable_mask_path(k, exclude)}
+             if trainable_mask_path(k, exclude, extra)}
     frozen = {k: v for k, v in flat.items()
-              if not trainable_mask_path(k, exclude)}
+              if not trainable_mask_path(k, exclude, extra)}
     return (traverse_util.unflatten_dict(train),
             traverse_util.unflatten_dict(frozen))
 
@@ -106,6 +109,26 @@ def _forward(model: LisaModel, cfg: TrainConfig, mesh, params, batch,
     train_ds.py:344-393)."""
     rngs = {"dropout": rng} if rng is not None else None
     pp = int(mesh.shape.get("pipe", 1)) if mesh is not None else 1
+    llama = model.cfg.llama
+    if getattr(llama, "moe_num_experts", 0) > 0:
+        if pp > 1:
+            raise NotImplementedError(
+                "MoE decoder layers + pipeline parallelism are not "
+                "composed: the GPipe engine stacks per-layer params and "
+                "moe_every != 1 makes layer trees heterogeneous; run MoE "
+                "with dp/fsdp/ep/tensor instead")
+        # Fetch the Switch load-balance losses sown by nn/moe.py and add
+        # them (weighted) to the objective; differentiable through apply.
+        out, mut = model.apply({"params": params}, batch,
+                               deterministic=deterministic, rngs=rngs,
+                               mutable=("moe_aux",))
+        aux = sum(jnp.mean(jnp.asarray(v))
+                  for v in jax.tree_util.tree_leaves(mut.get("moe_aux", {})))
+        n_moe = max(
+            1, sum(1 for i in range(llama.num_layers)
+                   if i % llama.moe_every == llama.moe_every - 1))
+        aux = llama.moe_aux_weight * aux / n_moe
+        return out._replace(loss=out.loss + aux)
     if pp > 1:
         from ..parallel.pipeline import (auto_microbatches,
                                          pipelined_lisa_forward)

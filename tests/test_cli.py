@@ -117,6 +117,35 @@ def test_train_cli_pp_micro_run(synth_data, tmp_path):
     assert ckpt.is_dir() and any(ckpt.iterdir())
 
 
+def test_train_cli_moe_ep_micro_run(synth_data, tmp_path):
+    """--moe_experts 2 --ep 2: MoE decoder MLPs trained with the expert
+    weights sharded over the mesh's expert axis (8 virtual devices ->
+    data=4, expert=2)."""
+    from haff_tpu.train.cli import main
+
+    shards, bench = synth_data
+    main([
+        "--dataset_dir", shards, "--val_benchmark_dir", bench,
+        "--model_preset", "tiny", "--epochs", "1", "--steps_per_epoch",
+        "2", "--batch_size", "4", "--grad_accum", "1", "--lr", "1e-3",
+        "--warmup_steps", "0", "--model_max_length", "448",
+        "--log_base_dir", str(tmp_path / "runs"), "--exp_name", "tmoe",
+        "--print_freq", "1", "--no_remat", "--val_batch_size", "2",
+        "--moe_experts", "2", "--moe_top_k", "1", "--ep", "2",
+    ])
+    ckpt = tmp_path / "runs" / "tmoe" / "ckpt_model"
+    assert ckpt.is_dir() and any(ckpt.iterdir())
+
+
+def test_train_cli_ep_requires_moe():
+    from haff_tpu.train.cli import main
+    import pytest
+
+    with pytest.raises(SystemExit):
+        main(["--dataset_dir", "/nonexistent", "--ep", "2",
+              "--model_preset", "tiny"])
+
+
 def test_train_cli_pp_rejects_sp():
     from haff_tpu.train.cli import main
     import pytest
