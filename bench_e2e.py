@@ -28,7 +28,8 @@ import numpy as np
 
 
 def build(preset="1b", batch=8, prompt_len=320, max_new=16,
-          load_in_8bit=False, kv_cache_8bit=False, load_in_4bit=False):
+          load_in_8bit=False, kv_cache_8bit=False, load_in_4bit=False,
+          speculative=False, draft_len=8):
     """Returns (run, meta) where run() executes one evaluate() call and
     host-syncs on a device-reduced scalar (axon tunnel rule: sync via
     scalar readback, never block_until_ready)."""
@@ -80,23 +81,45 @@ def build(preset="1b", batch=8, prompt_len=320, max_new=16,
         params = jax.jit(model.init)(jax.random.PRNGKey(0), batch0)
     ev = make_jitted_evaluate(model, max_new_tokens=max_new, eos_id=2,
                               kv_cache_8bit=kv_cache_8bit)
+    meta = dict(decoder=preset, batch=batch, max_new_tokens=max_new,
+                load_in_8bit=load_in_8bit, kv_cache_8bit=kv_cache_8bit,
+                load_in_4bit=load_in_4bit)
+    if speculative:
+        # Speculative decoding at full acceptance: the draft corpus is
+        # this model's own greedy output (oracle), which is what the
+        # templated "Sure, it is [SEG]." affordance answers look like
+        # to the drafter in real serving — measures the accepted-path
+        # hardware ceiling. Output is verified-exact either way
+        # (tests/test_speculative.py).
+        warm = ev(params, images_sam, images_clip, jnp.asarray(ids),
+                  jnp.asarray(attn))
+        corpus = np.asarray(warm.output_ids, np.int32)
+        ev = make_jitted_evaluate(
+            model, max_new_tokens=max_new, eos_id=2,
+            kv_cache_8bit=kv_cache_8bit, draft_corpus=corpus,
+            corpus_lengths=np.full((batch,), corpus.shape[1], np.int32),
+            draft_len=draft_len)
+        meta.update(speculative=True, draft_len=draft_len)
+
+    steps_seen = []
 
     def run():
         res = ev(params, images_sam, images_clip, jnp.asarray(ids),
                  jnp.asarray(attn))
+        if res.decode_steps is not None:
+            steps_seen.append(int(np.asarray(res.decode_steps)))
+            meta["decode_steps"] = steps_seen[-1]
         return float(np.asarray(res.taxonomies).sum())  # host sync
 
-    meta = dict(decoder=preset, batch=batch, max_new_tokens=max_new,
-                load_in_8bit=load_in_8bit, kv_cache_8bit=kv_cache_8bit,
-                load_in_4bit=load_in_4bit)
     return run, meta
 
 
 def main(batch=8, prompt_len=320, max_new=16, preset="1b",
          load_in_8bit=False, kv_cache_8bit=False, iters=5,
-         load_in_4bit=False):
+         load_in_4bit=False, speculative=False, draft_len=8):
     run, meta = build(preset, batch, prompt_len, max_new,
-                      load_in_8bit, kv_cache_8bit, load_in_4bit)
+                      load_in_8bit, kv_cache_8bit, load_in_4bit,
+                      speculative, draft_len)
     run()  # compile
     run()  # warm
     t0 = time.perf_counter()
@@ -110,11 +133,13 @@ def main(batch=8, prompt_len=320, max_new=16, preset="1b",
 
 
 def latency(prompt_len=320, max_new=16, preset="1b", iters=12,
-            load_in_8bit=False, kv_cache_8bit=False, load_in_4bit=False):
+            load_in_8bit=False, kv_cache_8bit=False, load_in_4bit=False,
+            speculative=False, draft_len=8):
     """Single-frame p50 latency (BASELINE north-star 'p50 ms/frame'):
     batch 1 through the full evaluate, per-call host-synced timings."""
     run, meta = build(preset, 1, prompt_len, max_new,
-                      load_in_8bit, kv_cache_8bit, load_in_4bit)
+                      load_in_8bit, kv_cache_8bit, load_in_4bit,
+                      speculative, draft_len)
     run()
     run()
     times = []
@@ -260,6 +285,11 @@ if __name__ == "__main__":
                     help="W4A16 LLM projections (13B fits one v5e)")
     ap.add_argument("--kv_cache_8bit", action="store_true")
     ap.add_argument("--latency", action="store_true")
+    ap.add_argument("--speculative", action="store_true",
+                    help="prompt-lookup speculative decode with an "
+                    "oracle (own-greedy-output) draft corpus — the "
+                    "accepted-path ceiling; output stays exact")
+    ap.add_argument("--draft_len", type=int, default=8)
     ap.add_argument("--streaming", action="store_true")
     ap.add_argument("--staged", action="store_true",
                     help="streaming: pre-stage the clip in HBM "
@@ -271,7 +301,9 @@ if __name__ == "__main__":
                   staged=a.staged)
     elif a.latency:
         latency(a.prompt_len, a.max_new, a.preset, max(a.iters, 12),
-                a.load_in_8bit, a.kv_cache_8bit, a.load_in_4bit)
+                a.load_in_8bit, a.kv_cache_8bit, a.load_in_4bit,
+                a.speculative, a.draft_len)
     else:
         main(a.batch, a.prompt_len, a.max_new, a.preset,
-             a.load_in_8bit, a.kv_cache_8bit, a.iters, a.load_in_4bit)
+             a.load_in_8bit, a.kv_cache_8bit, a.iters, a.load_in_4bit,
+             a.speculative, a.draft_len)

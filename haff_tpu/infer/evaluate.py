@@ -24,7 +24,8 @@ from ..core.config import ModelConfig
 from ..model.lisa import LisaModel
 from ..model.multimodal import find_image_position, splice_image_embeddings
 from ..nn.sam import postprocess_masks_padded
-from .generate import GenerateResult, greedy_generate
+from .generate import (GenerateResult, greedy_generate,
+                       speculative_generate)
 
 
 class EvaluateResult(NamedTuple):
@@ -34,14 +35,23 @@ class EvaluateResult(NamedTuple):
     pred_masks_right: jnp.ndarray  # (B, S, S)
     taxonomies: jnp.ndarray        # (B, 4) softmax probs
     seg_found: jnp.ndarray         # (B,) bool: a [SEG] was emitted
+    # decode forwards taken (scalar; speculative path only, else None)
+    decode_steps: jnp.ndarray = None
 
 
 def evaluate_fn(model: LisaModel, params, images_sam, images_clip,
                 input_ids, attention_mask, max_new_tokens: int,
-                eos_id: int, kv_cache_8bit: bool = False
-                ) -> EvaluateResult:
+                eos_id: int, kv_cache_8bit: bool = False,
+                draft_corpus=None, corpus_lengths=None,
+                draft_len: int = 8) -> EvaluateResult:
     """images_*: (B, ...) preprocessed; input_ids (B, L) with
-    IMAGE_TOKEN_INDEX; attention_mask (B, L) 1 = real (right padding)."""
+    IMAGE_TOKEN_INDEX; attention_mask (B, L) 1 = real (right padding).
+
+    With `draft_corpus` ((B, C) int32, e.g. the tokenized ANSWER_LIST
+    templates via generate.make_lookup_corpus), decode runs
+    prompt-lookup speculative decoding (generate.speculative_generate)
+    instead of one forward per token — same greedy output, fewer
+    decode steps. Llama decoder only."""
     cfg = model.cfg
 
     clip_emb = model.apply(params, images_clip, method="encode_clip")
@@ -59,10 +69,27 @@ def evaluate_fn(model: LisaModel, params, images_sam, images_clip,
         return model.apply(params, emb, pos, seg, caches, idx, kvseg,
                            method="llm_forward")
 
-    gen = greedy_generate(
-        cfg.llama, embed_fn, llm_fn, sp.embeds, sp.positions,
-        sp.segment_ids, prompt_lengths, max_new_tokens, eos_id,
-        kv_cache_8bit=kv_cache_8bit)
+    if draft_corpus is not None:
+        assert cfg.decoder != "mpt", \
+            "speculative decoding is wired for the llama decoder only"
+        b = input_ids.shape[0]
+        draft_corpus = jnp.asarray(draft_corpus, jnp.int32)
+        if draft_corpus.ndim == 1:
+            draft_corpus = jnp.broadcast_to(draft_corpus,
+                                            (b,) + draft_corpus.shape)
+        if corpus_lengths is not None:
+            corpus_lengths = jnp.broadcast_to(
+                jnp.asarray(corpus_lengths, jnp.int32), (b,))
+        gen = speculative_generate(
+            cfg.llama, embed_fn, llm_fn, sp.embeds, sp.positions,
+            sp.segment_ids, prompt_lengths, max_new_tokens, eos_id,
+            draft_corpus, corpus_lengths, draft_len,
+            kv_cache_8bit=kv_cache_8bit)
+    else:
+        gen = greedy_generate(
+            cfg.llama, embed_fn, llm_fn, sp.embeds, sp.positions,
+            sp.segment_ids, prompt_lengths, max_new_tokens, eos_id,
+            kv_cache_8bit=kv_cache_8bit)
 
     # [SEG] gather: first emitted [SEG] token's source hidden state.
     is_seg = (gen.tokens == cfg.seg_token_idx) & (
@@ -84,13 +111,16 @@ def evaluate_fn(model: LisaModel, params, images_sam, images_clip,
     return EvaluateResult(
         output_ids=gen.tokens, gen_lengths=gen.lengths,
         pred_masks_left=pred_l, pred_masks_right=pred_r,
-        taxonomies=taxonomy, seg_found=seg_found)
+        taxonomies=taxonomy, seg_found=seg_found,
+        decode_steps=gen.steps)
 
 
 def make_jitted_evaluate(model: LisaModel, max_new_tokens: int,
                          eos_id: int, quant_scales=None,
                          quant_dtype=jnp.bfloat16,
-                         kv_cache_8bit: bool = False):
+                         kv_cache_8bit: bool = False,
+                         draft_corpus=None, corpus_lengths=None,
+                         draft_len: int = 8):
     """Returns evaluate(params, images_sam, images_clip, input_ids,
     attention_mask) jitted with static generation length.
 
@@ -108,6 +138,9 @@ def make_jitted_evaluate(model: LisaModel, max_new_tokens: int,
             params = dequantize_tree(params, quant_scales, quant_dtype)
         return evaluate_fn(model, params, images_sam, images_clip,
                            input_ids, attention_mask, max_new_tokens,
-                           eos_id, kv_cache_8bit=kv_cache_8bit)
+                           eos_id, kv_cache_8bit=kv_cache_8bit,
+                           draft_corpus=draft_corpus,
+                           corpus_lengths=corpus_lengths,
+                           draft_len=draft_len)
 
     return _eval

@@ -206,3 +206,50 @@ def flash_decode_attention(
         interpret = jax.default_backend() != "tpu"
     return _kernel_path(q, k_cache, v_cache, kv_mask, sm_scale, block_k,
                         interpret)
+
+
+def chunk_decode_attention(
+        q: jnp.ndarray,
+        k_cache: Union[jnp.ndarray, QuantArray],
+        v_cache: Union[jnp.ndarray, QuantArray],
+        kv_mask: jnp.ndarray,
+        q_positions: jnp.ndarray,
+        sm_scale: Optional[float] = None) -> jnp.ndarray:
+    """Multi-token decode ("verify") attention over the KV cache — the
+    speculative-decoding counterpart of flash_decode_attention: a chunk
+    of D draft tokens (already written into the cache at per-row
+    offsets) attends over every live cache slot up to its own position.
+
+    q (B, D, nh, hd); k/v_cache (B, Lmax, nkv, hd) or QuantArray;
+    kv_mask (B, Lmax) 1 = live slot INCLUDING the chunk's slots;
+    q_positions (B, D) absolute token positions of the chunk (cache
+    slot j holds token position j, so causality is `slot <= position`).
+    Returns (B, D, nh, hd).
+
+    XLA-only: D is small (4-16) and Lmax a few hundred for the serving
+    shapes this targets, so the (B, nh, D, Lmax) score tensor is tiny;
+    the int8 dequant-cast and GQA repeat fuse exactly as in _xla_path.
+    """
+    if isinstance(k_cache, QuantArray):
+        from ..nn.quant import dequantize_activation
+
+        k_cache = dequantize_activation(k_cache, q.dtype)
+        v_cache = dequantize_activation(v_cache, q.dtype)
+    b, d, nh, hd = q.shape
+    lmax = k_cache.shape[1]
+    nkv = k_cache.shape[2]
+    if sm_scale is None:
+        sm_scale = hd ** -0.5
+    if nkv != nh:
+        rep = nh // nkv
+        k_cache = jnp.repeat(k_cache, rep, axis=2)
+        v_cache = jnp.repeat(v_cache, rep, axis=2)
+    s = jnp.einsum("bdnh,blnh->bndl", q.astype(jnp.float32) * sm_scale,
+                   k_cache.astype(jnp.float32))
+    slots = jnp.arange(lmax)
+    visible = ((kv_mask[:, None, :] > 0)
+               & (slots[None, None, :] <= q_positions[:, :, None]))
+    s = jnp.where(visible[:, None, :, :], s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)
+    out = jnp.einsum("bndl,blnh->bdnh", p, v_cache.astype(jnp.float32))
+    return out.astype(q.dtype)

@@ -173,15 +173,23 @@ class LlamaAttention(nn.Module):
                 cv = write(cv, v.astype(cv.dtype), cache_index)
             new_cache = (ck, cv)
 
-        if kv_cache is not None and l == 1:
-            # Decode step: attend over live cache slots. Long caches
-            # stream through the flash-decode kernel (int8 caches are
-            # dequantized in VMEM); short ones fall back to XLA inside.
-            from ..kernels.decode_attention import flash_decode_attention
+        if kv_cache is not None and cache_kv_segment_ids is not None:
+            # Decode modes: attend over live cache slots. L == 1 is the
+            # classic single-token step (long caches stream through the
+            # flash-decode kernel; int8 caches are dequantized in VMEM);
+            # L > 1 is a speculative-verify chunk (infer/generate.py
+            # speculative_generate) where each of the L draft tokens
+            # attends over the cache up to its own position.
+            from ..kernels.decode_attention import (chunk_decode_attention,
+                                                    flash_decode_attention)
 
             ck, cv = new_cache
-            out = flash_decode_attention(
-                q[:, 0], ck, cv, cache_kv_segment_ids)[:, None]
+            if l == 1:
+                out = flash_decode_attention(
+                    q[:, 0], ck, cv, cache_kv_segment_ids)[:, None]
+            else:
+                out = chunk_decode_attention(
+                    q, ck, cv, cache_kv_segment_ids, positions)
         else:
             if nkv != nh:
                 rep = nh // nkv
