@@ -31,6 +31,10 @@ def main(argv=None):
     p.add_argument("--no_mm_start_end", dest="use_mm_start_end",
                    action="store_false")
     p.add_argument("--kv_cache_8bit", action="store_true")
+    p.add_argument("--speculative", action="store_true",
+                   help="prompt-lookup speculative decoding (ANSWER_LIST "
+                        "template drafts; exact greedy output)")
+    p.add_argument("--draft_len", type=int, default=8)
     p.add_argument("--vis_save_path", default="./vis_output")
     p.add_argument("--threshold", type=float, default=0.5)
     args = p.parse_args(argv)
@@ -48,6 +52,8 @@ def main(argv=None):
                           load_in_8bit=args.load_in_8bit,
                           load_in_4bit=args.load_in_4bit,
                           kv_cache_8bit=args.kv_cache_8bit,
+                          speculative=args.speculative,
+                          draft_len=args.draft_len,
                           conv_type=args.conv_type,
                           use_mm_start_end=args.use_mm_start_end)
     os.makedirs(args.vis_save_path, exist_ok=True)

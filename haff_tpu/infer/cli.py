@@ -83,6 +83,10 @@ def main(argv=None):
     p.add_argument("--kv_cache_8bit", action="store_true",
                    help="store the decode KV cache as int8 with per "
                         "token-head scales")
+    p.add_argument("--speculative", action="store_true",
+                   help="prompt-lookup speculative decoding (ANSWER_LIST "
+                        "template drafts; exact greedy output)")
+    p.add_argument("--draft_len", type=int, default=8)
     args = p.parse_args(argv)
 
     import jax
@@ -145,12 +149,19 @@ def main(argv=None):
                                 quantize_dense_tree)
 
         params = quantize_dense_tree(params, lisa_serving_predicate)
+    corpus = lens = None
+    if args.speculative:
+        from .generate import answer_template_corpus
+
+        corpus, lens = answer_template_corpus(tok)
     ev = make_jitted_evaluate(model, max_new_tokens=args.max_new_tokens,
                               eos_id=tok.eos_token_id,
                               quant_scales=scales,
                               quant_dtype=jnp.bfloat16
                               if args.precision == "bf16" else jnp.float32,
-                              kv_cache_8bit=args.kv_cache_8bit)
+                              kv_cache_8bit=args.kv_cache_8bit,
+                              draft_corpus=corpus, corpus_lengths=lens,
+                              draft_len=args.draft_len)
 
     B = args.batch
     for start in range(0, len(ds), B):

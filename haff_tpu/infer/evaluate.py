@@ -75,11 +75,15 @@ def evaluate_fn(model: LisaModel, params, images_sam, images_clip,
         b = input_ids.shape[0]
         draft_corpus = jnp.asarray(draft_corpus, jnp.int32)
         if draft_corpus.ndim == 1:
-            draft_corpus = jnp.broadcast_to(draft_corpus,
-                                            (b,) + draft_corpus.shape)
+            draft_corpus = draft_corpus[None]
+        if draft_corpus.shape[0] != b:  # shared (1, C) template corpus
+            draft_corpus = jnp.broadcast_to(
+                draft_corpus, (b, draft_corpus.shape[1]))
         if corpus_lengths is not None:
-            corpus_lengths = jnp.broadcast_to(
-                jnp.asarray(corpus_lengths, jnp.int32), (b,))
+            corpus_lengths = jnp.asarray(corpus_lengths,
+                                         jnp.int32).reshape(-1)
+            if corpus_lengths.shape[0] != b:
+                corpus_lengths = jnp.broadcast_to(corpus_lengths[:1], (b,))
         gen = speculative_generate(
             cfg.llama, embed_fn, llm_fn, sp.embeds, sp.positions,
             sp.segment_ids, prompt_lengths, max_new_tokens, eos_id,

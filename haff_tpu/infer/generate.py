@@ -118,6 +118,20 @@ def make_lookup_corpus(token_rows, width: int, batch: int, pad_id: int):
             np.full((batch,), len(flat), np.int32))
 
 
+def answer_template_corpus(tokenizer, width: int = 128):
+    """Tokenize the data/prompts.py ANSWER_LIST templates (each followed
+    by EOS) into a (1, width) draft corpus + (1,) length for
+    speculative_generate — these are exactly the strings a trained
+    affordance model emits (reference answers, 2Haff utils/utils.py
+    ANSWER_LIST), so lookup drafting accepts them nearly wholesale."""
+    from ..data.prompts import ANSWER_LIST
+
+    eos = tokenizer.eos_token_id
+    rows = [list(tokenizer(a, add_special_tokens=False).input_ids) + [eos]
+            for a in ANSWER_LIST]
+    return make_lookup_corpus(rows, width, 1, eos)
+
+
 def speculative_generate(cfg: LlamaConfig,
                          embed_fn: Callable,
                          llm_fn: Callable,

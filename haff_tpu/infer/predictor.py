@@ -24,7 +24,9 @@ class Predictor:
                  kv_cache_8bit: bool = False,
                  conv_type: str = "llava_v1",
                  use_mm_start_end: bool = True,
-                 use_template: bool = True):
+                 use_template: bool = True,
+                 speculative: bool = False,
+                 draft_len: int = 8):
         import jax
         import jax.numpy as jnp
 
@@ -118,10 +120,20 @@ class Predictor:
         # leaves would otherwise re-upload host->device on EVERY
         # evaluate call (gigabytes per request at flagship scale)
         self.params = jax.device_put(self.params)
+        corpus = lens = None
+        if speculative:
+            # Prompt-lookup speculative decoding drafted from the
+            # ANSWER_LIST templates — exact greedy output, fewer decode
+            # forwards (infer/generate.py speculative_generate).
+            from .generate import answer_template_corpus
+
+            corpus, lens = answer_template_corpus(self.tok)
         self._eval = make_jitted_evaluate(
             self.model, max_new_tokens=max_new_tokens,
             eos_id=self.tok.eos_token_id, quant_scales=scales,
-            quant_dtype=dtype, kv_cache_8bit=kv_cache_8bit)
+            quant_dtype=dtype, kv_cache_8bit=kv_cache_8bit,
+            draft_corpus=corpus, corpus_lengths=lens,
+            draft_len=draft_len)
 
     def predict_batch(self, images, prompts):
         """Batched inference: lists of RGB uint8 frames + text prompts ->

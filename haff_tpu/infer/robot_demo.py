@@ -132,6 +132,10 @@ def main(argv=None):
     p.add_argument("--no_mm_start_end", dest="use_mm_start_end",
                    action="store_false")
     p.add_argument("--kv_cache_8bit", action="store_true")
+    p.add_argument("--speculative", action="store_true",
+                   help="prompt-lookup speculative decoding (ANSWER_LIST "
+                        "template drafts; exact greedy output)")
+    p.add_argument("--draft_len", type=int, default=8)
     p.add_argument("--th", type=float, default=-5.0)
     p.add_argument("--force_left", action="store_true")
     p.add_argument("--force_right", action="store_true")
@@ -153,6 +157,8 @@ def main(argv=None):
                           load_in_8bit=args.load_in_8bit,
                           load_in_4bit=args.load_in_4bit,
                           kv_cache_8bit=args.kv_cache_8bit,
+                          speculative=args.speculative,
+                          draft_len=args.draft_len,
                           use_mm_start_end=args.use_mm_start_end,
                           use_template=False)
     os.makedirs(os.path.join(args.root, "in"), exist_ok=True)

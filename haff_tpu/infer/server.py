@@ -244,6 +244,11 @@ def main():
     p.add_argument("--load_in_8bit", action="store_true")
     p.add_argument("--load_in_4bit", action="store_true")
     p.add_argument("--kv_cache_8bit", action="store_true")
+    p.add_argument("--speculative", action="store_true",
+                   help="prompt-lookup speculative decoding drafted "
+                        "from the ANSWER_LIST templates (exact greedy "
+                        "output, fewer decode forwards)")
+    p.add_argument("--draft_len", type=int, default=8)
     p.add_argument("--compilation_cache",
                    default="/tmp/haff_tpu_jit_cache",
                    help="persistent XLA compilation cache dir (empty "
@@ -265,7 +270,8 @@ def main():
         checkpoint=args.checkpoint, tokenizer=args.tokenizer,
         precision=args.precision, max_new_tokens=args.max_new_tokens,
         load_in_8bit=args.load_in_8bit, load_in_4bit=args.load_in_4bit,
-        kv_cache_8bit=args.kv_cache_8bit)
+        kv_cache_8bit=args.kv_cache_8bit,
+        speculative=args.speculative, draft_len=args.draft_len)
     # warm the bucket so the first burst doesn't pay the compile
     dummy = np.zeros((64, 64, 3), np.uint8)
     predictor.predict_batch([dummy] * args.batch_size,

@@ -227,3 +227,28 @@ def test_evaluate_with_draft_corpus_matches_plain():
     np.testing.assert_allclose(np.asarray(spec.pred_masks_left),
                                np.asarray(plain.pred_masks_left),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_predictor_speculative_matches_plain():
+    """Predictor(speculative=True) — the serving path used by
+    server/chat/app/robot_demo — produces the same answers and masks as
+    the per-token path, with the ANSWER_LIST template corpus."""
+    from haff_tpu.infer.generate import answer_template_corpus
+    from haff_tpu.infer.predictor import Predictor
+
+    img = (np.random.RandomState(0).rand(48, 64, 3) * 255).astype(np.uint8)
+    kw = dict(model_preset="tiny", precision="fp32", max_new_tokens=4,
+              max_text_len=96)
+    plain = Predictor(**kw)
+    corpus, lens = answer_template_corpus(plain.tok)
+    assert corpus.shape[0] == 1 and int(lens[0]) > 0
+    spec = Predictor(**kw, speculative=True, draft_len=4)
+    # identical init seeds -> identical params -> identical outputs
+    out_p = plain.predict_batch([img], ["open the drawer"])
+    out_s = spec.predict_batch([img], ["open the drawer"])
+    (ans_p, ml_p, mr_p, tax_p), (ans_s, ml_s, mr_s, tax_s) = out_p[0], out_s[0]
+    assert ans_p == ans_s
+    np.testing.assert_allclose(np.asarray(ml_p), np.asarray(ml_s),
+                               rtol=1e-3, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(tax_p), np.asarray(tax_s),
+                               rtol=1e-4, atol=1e-4)
