@@ -307,8 +307,16 @@ class LlamaBlock(nn.Module):
         if is_moe:
             from .moe import MoEMLP
 
+            # Decode modes (attending over a KV cache) route with
+            # no-drop capacity: n is tiny there, and capacity drops
+            # would make a token's output depend on its forward's
+            # co-batch — breaking stepwise/chunked decode equivalence
+            # (see MoEMLP docstring).
+            decoding = (kv_cache is not None
+                        and cache_kv_segment_ids is not None)
             mlp = MoEMLP(cfg=cfg, dtype=self.dtype,
-                         param_dtype=self.param_dtype, name="moe")
+                         param_dtype=self.param_dtype,
+                         no_drop=decoding, name="moe")
         else:
             mlp = LlamaMLP(cfg=cfg, dtype=self.dtype,
                            param_dtype=self.param_dtype, name="mlp")

@@ -60,11 +60,20 @@ def _expert_constraint(x):
 
 class MoEMLP(nn.Module):
     """Drop-in replacement for LlamaMLP (same (B, L, d) -> (B, L, d)
-    contract) routing each token to top-k of E SwiGLU experts."""
+    contract) routing each token to top-k of E SwiGLU experts.
+
+    `no_drop=True` sets capacity = n so no token ever overflows: used
+    by the decode paths (nn/llama.py passes it when attending over a KV
+    cache), where n is tiny (B or B*draft_len) and dropping would make
+    a token's output depend on which OTHER tokens shared its forward —
+    stepwise decode, speculative chunk verify, and the full forward
+    must all route each token identically for exact-generation
+    guarantees (tests/test_speculative.py)."""
 
     cfg: LlamaConfig
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
+    no_drop: bool = False
 
     @nn.compact
     def __call__(self, x):
@@ -101,7 +110,11 @@ class MoEMLP(nn.Module):
         if K > 1:
             gates = gates / (jnp.sum(gates, axis=0, keepdims=True) + 1e-9)
 
-        capacity = max(1, math.ceil(K * n / E * cfg.moe_capacity_factor))
+        if self.no_drop:
+            capacity = n
+        else:
+            capacity = max(1, math.ceil(K * n / E
+                                        * cfg.moe_capacity_factor))
 
         # k-major slot assignment: flatten (K, n) so every first choice
         # outranks every second choice (GShard priority), then the

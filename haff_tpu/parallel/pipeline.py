@@ -129,9 +129,20 @@ def pipeline_blocks(
     if rng is None:
         rng = jax.random.PRNGKey(0)  # unused unless block_fn draws
 
+    # The shard_map boundary runs in f32 when the payload is bf16:
+    # XLA's CPU-only AllReducePromotion pass aborts ("Invalid binary
+    # instruction opcode copy", hlo_instruction.cc:1585) cloning the
+    # bf16 all-reduces SPMD inserts to reshard sharded cotangents into
+    # the partial-manual region during the backward. Casting at the
+    # boundary keeps those collectives f32; on TPU the pass never runs
+    # and the casts fuse into the neighboring elementwise ops. Payload
+    # compute inside the stages stays in the original dtype.
+    carry_dtypes = None
+
     def local(staged, rng, *carried):
         # staged leaves: (1, lps, ...) local slice; carried: global view
         # over the auto axes, replicated over pipe.
+        carried = tuple(c.astype(d) for c, d in zip(carried, carry_dtypes))
         local_params = jax.tree_util.tree_map(lambda w: w[0], staged)
         stage = lax.axis_index(PIPE_AXIS)
         micro = tuple(
@@ -183,11 +194,17 @@ def pipeline_blocks(
 
         (_, outputs), _ = lax.scan(step, (state, outputs), jnp.arange(T))
         # Results accumulate on the last stage only; broadcast them.
+        # The psum + the returned boundary value run in f32 (see the
+        # boundary-dtype note above local()).
         outputs = lax.psum(
-            jnp.where(stage == stages - 1, outputs,
-                      jnp.zeros((), outputs.dtype)), PIPE_AXIS)
+            jnp.where(stage == stages - 1, outputs.astype(jnp.float32),
+                      jnp.zeros((), jnp.float32)), PIPE_AXIS)
         return outputs.reshape((batch,) + carried[0].shape[1:])
 
+    carry_dtypes = tuple(c.dtype for c in carried)
+    boundary = tuple(
+        c.astype(jnp.float32) if c.dtype == jnp.bfloat16 else c
+        for c in carried)
     spec_params = jax.tree_util.tree_map(lambda _: P(PIPE_AXIS), staged)
     fn = jax.shard_map(
         local, mesh=mesh,
@@ -195,7 +212,7 @@ def pipeline_blocks(
         out_specs=P(),
         axis_names=frozenset({PIPE_AXIS}),
         check_vma=False)
-    return fn(staged, rng, *carried)
+    return fn(staged, rng, *boundary).astype(carry_dtypes[0])
 
 
 # ---------------------------------------------------------------------------

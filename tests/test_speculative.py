@@ -252,3 +252,40 @@ def test_predictor_speculative_matches_plain():
                                rtol=1e-3, atol=1e-3)
     np.testing.assert_allclose(np.asarray(tax_p), np.asarray(tax_s),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_speculative_with_moe_decoder():
+    """MoE decoder MLPs route per-token with no-drop capacity in decode
+    modes (nn/llama.py), so chunked verify and stepwise decode assign
+    experts identically — speculative must stay exactly greedy."""
+    import dataclasses
+
+    cfg = dataclasses.replace(LlamaConfig.preset("tiny"),
+                              moe_num_experts=4, moe_top_k=2)
+    model = LlamaForCausalLM(cfg=cfg)
+    b, lp, T = 2, 6, 6
+    rng = np.random.RandomState(21)
+    ids = jnp.asarray(rng.randint(2, cfg.vocab_size, (b, lp)), jnp.int32)
+    pos = jnp.broadcast_to(jnp.arange(lp)[None], (b, lp))
+    params = model.init(jax.random.PRNGKey(1), ids, pos, method="init_all")
+
+    def embed_fn(tok):
+        return model.apply(params, tok, method="embed")
+
+    def llm_fn(emb, p, seg, caches, idx, kvseg):
+        return model.apply(params, emb, p, seg, caches, idx, kvseg)
+
+    seg = jnp.ones((b, lp), jnp.int32)
+    lengths = jnp.full((b,), lp, jnp.int32)
+    gen = greedy_generate(cfg, embed_fn, llm_fn, embed_fn(ids), pos, seg,
+                          lengths, T, eos_id=0, cache_dtype=jnp.float32)
+    corpus = jnp.concatenate([ids[:, -1:], gen.tokens], axis=1)  # oracle
+    spec = speculative_generate(
+        cfg, embed_fn, llm_fn, embed_fn(ids), pos, seg, lengths, T,
+        eos_id=0, draft_corpus=corpus, draft_len=4,
+        cache_dtype=jnp.float32)
+    np.testing.assert_array_equal(np.asarray(spec.tokens),
+                                  np.asarray(gen.tokens))
+    np.testing.assert_array_equal(np.asarray(spec.lengths),
+                                  np.asarray(gen.lengths))
+    assert int(spec.steps) < T  # oracle corpus actually accelerates
