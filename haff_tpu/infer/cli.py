@@ -151,6 +151,10 @@ def main(argv=None):
         params = quantize_dense_tree(params, lisa_serving_predicate)
     corpus = lens = None
     if args.speculative:
+        if args.decoder == "mpt":
+            raise SystemExit(
+                "--speculative requires the llama decoder (the MPT "
+                "attention has no chunked cache-verify mode)")
         from .generate import answer_template_corpus
 
         corpus, lens = answer_template_corpus(tok)

@@ -70,8 +70,10 @@ def evaluate_fn(model: LisaModel, params, images_sam, images_clip,
                            method="llm_forward")
 
     if draft_corpus is not None:
-        assert cfg.decoder != "mpt", \
-            "speculative decoding is wired for the llama decoder only"
+        if cfg.decoder == "mpt":
+            raise ValueError(
+                "speculative decoding is wired for the llama decoder "
+                "only (MPT attention has no chunked cache-verify mode)")
         b = input_ids.shape[0]
         draft_corpus = jnp.asarray(draft_corpus, jnp.int32)
         if draft_corpus.ndim == 1:
@@ -82,8 +84,13 @@ def evaluate_fn(model: LisaModel, params, images_sam, images_clip,
         if corpus_lengths is not None:
             corpus_lengths = jnp.asarray(corpus_lengths,
                                          jnp.int32).reshape(-1)
-            if corpus_lengths.shape[0] != b:
-                corpus_lengths = jnp.broadcast_to(corpus_lengths[:1], (b,))
+            if corpus_lengths.shape[0] == 1:
+                corpus_lengths = jnp.broadcast_to(corpus_lengths, (b,))
+            elif corpus_lengths.shape[0] != b:
+                raise ValueError(
+                    f"corpus_lengths batch {corpus_lengths.shape[0]} "
+                    f"!= input batch {b} (pass 1 shared length or one "
+                    "per row)")
         gen = speculative_generate(
             cfg.llama, embed_fn, llm_fn, sp.embeds, sp.positions,
             sp.segment_ids, prompt_lengths, max_new_tokens, eos_id,

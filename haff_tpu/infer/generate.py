@@ -30,6 +30,39 @@ class GenerateResult(NamedTuple):
     steps: jnp.ndarray = None
 
 
+def _alloc_and_prefill(cfg, llm_fn, prompt_embeds, prompt_positions,
+                       prompt_segment_ids, prompt_lengths, max_len,
+                       cache_dtype, kv_cache_8bit):
+    """Allocate per-layer KV caches and run the prompt prefill (flash
+    attention; k/v written into the caches at offset 0). Shared by
+    greedy_generate and speculative_generate — the exactness contract
+    between them starts from an identical prefill.
+
+    Returns (caches, last_logits (B, V), last_hidden (B, E)) gathered
+    at each row's real prompt length (right padding)."""
+    b = prompt_embeds.shape[0]
+    shape = (b, max_len, cfg.num_kv_heads, cfg.head_dim)
+
+    def one_cache():
+        if kv_cache_8bit:
+            from ..nn.quant import QuantArray
+
+            return QuantArray(jnp.zeros(shape, jnp.int8),
+                              jnp.ones(shape[:-1] + (1,), jnp.float32))
+        return jnp.zeros(shape, cache_dtype)
+
+    caches = [(one_cache(), one_cache()) for _ in range(cfg.num_layers)]
+    logits, hidden, caches = llm_fn(
+        prompt_embeds, prompt_positions, prompt_segment_ids, caches,
+        jnp.zeros((b,), jnp.int32), None)
+    last_idx = jnp.maximum(prompt_lengths - 1, 0)
+    last_logits = jnp.take_along_axis(
+        logits, last_idx[:, None, None], axis=1)[:, 0]      # (B, V)
+    last_hidden = jnp.take_along_axis(
+        hidden, last_idx[:, None, None], axis=1)[:, 0]      # (B, E)
+    return caches, last_logits, last_hidden
+
+
 def greedy_generate(cfg: LlamaConfig,
                     embed_fn: Callable,
                     llm_fn: Callable,
@@ -46,29 +79,9 @@ def greedy_generate(cfg: LlamaConfig,
     with per token-head scales (nn/quant.QuantArray)."""
     b, l, _ = prompt_embeds.shape
     max_len = l + max_new_tokens
-
-    shape = (b, max_len, cfg.num_kv_heads, cfg.head_dim)
-
-    def one_cache():
-        if kv_cache_8bit:
-            from ..nn.quant import QuantArray
-
-            return QuantArray(jnp.zeros(shape, jnp.int8),
-                              jnp.ones(shape[:-1] + (1,), jnp.float32))
-        return jnp.zeros(shape, cache_dtype)
-
-    caches = [(one_cache(), one_cache()) for _ in range(cfg.num_layers)]
-
-    # Prefill: flash attention over the prompt, k/v written into caches.
-    logits, hidden, caches = llm_fn(
-        prompt_embeds, prompt_positions, prompt_segment_ids, caches,
-        jnp.zeros((b,), jnp.int32), None)
-
-    last_idx = jnp.maximum(prompt_lengths - 1, 0)
-    last_logits = jnp.take_along_axis(
-        logits, last_idx[:, None, None], axis=1)[:, 0]      # (B, V)
-    last_hidden = jnp.take_along_axis(
-        hidden, last_idx[:, None, None], axis=1)[:, 0]      # (B, E)
+    caches, last_logits, last_hidden = _alloc_and_prefill(
+        cfg, llm_fn, prompt_embeds, prompt_positions, prompt_segment_ids,
+        prompt_lengths, max_len, cache_dtype, kv_cache_8bit)
 
     kv_seg0 = (jnp.arange(max_len)[None, :]
                < prompt_lengths[:, None]).astype(jnp.int32)
@@ -170,27 +183,9 @@ def speculative_generate(cfg: LlamaConfig,
     t_out = max_new_tokens
     max_len = l + max_new_tokens + d      # chunk-overwrite slack
     e_dim = prompt_embeds.shape[-1]
-
-    shape = (b, max_len, cfg.num_kv_heads, cfg.head_dim)
-
-    def one_cache():
-        if kv_cache_8bit:
-            from ..nn.quant import QuantArray
-
-            return QuantArray(jnp.zeros(shape, jnp.int8),
-                              jnp.ones(shape[:-1] + (1,), jnp.float32))
-        return jnp.zeros(shape, cache_dtype)
-
-    caches = [(one_cache(), one_cache()) for _ in range(cfg.num_layers)]
-
-    logits, hidden, caches = llm_fn(
-        prompt_embeds, prompt_positions, prompt_segment_ids, caches,
-        jnp.zeros((b,), jnp.int32), None)
-    last_idx = jnp.maximum(prompt_lengths - 1, 0)
-    last_logits = jnp.take_along_axis(
-        logits, last_idx[:, None, None], axis=1)[:, 0]
-    last_hidden = jnp.take_along_axis(
-        hidden, last_idx[:, None, None], axis=1)[:, 0]
+    caches, last_logits, last_hidden = _alloc_and_prefill(
+        cfg, llm_fn, prompt_embeds, prompt_positions, prompt_segment_ids,
+        prompt_lengths, max_len, cache_dtype, kv_cache_8bit)
 
     # History buffer the drafts are looked up in: corpus ++ accepted.
     hist_w = draft_corpus.shape[1] + max_new_tokens + d

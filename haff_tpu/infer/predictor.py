@@ -125,6 +125,11 @@ class Predictor:
             # Prompt-lookup speculative decoding drafted from the
             # ANSWER_LIST templates — exact greedy output, fewer decode
             # forwards (infer/generate.py speculative_generate).
+            if decoder == "mpt":
+                raise ValueError(
+                    "speculative decoding requires the llama decoder "
+                    "(the MPT attention has no chunked cache-verify "
+                    "mode)")
             from .generate import answer_template_corpus
 
             corpus, lens = answer_template_corpus(self.tok)

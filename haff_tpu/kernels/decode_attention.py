@@ -157,19 +157,28 @@ def _kernel_path(q, k, v, kv_mask, sm_scale, block_k, interpret):
     return out
 
 
-def _xla_path(q, k, v, kv_mask, sm_scale):
-    """Reference decode attention in XLA (also the fallback)."""
+def _dequant_repeat(k, v, nh, dtype):
+    """Dequantize an int8 cache and repeat kv heads for GQA/MQA —
+    shared by the single-token XLA path and the chunked verify path so
+    the two decode modes stay numerically identical (the speculative
+    exactness contract, tests/test_speculative.py)."""
     if isinstance(k, QuantArray):
         from ..nn.quant import dequantize_activation
 
-        k = dequantize_activation(k, q.dtype)
-        v = dequantize_activation(v, q.dtype)
-    b, nh, hd = q.shape
+        k = dequantize_activation(k, dtype)
+        v = dequantize_activation(v, dtype)
     nkv = k.shape[2]
     if nkv != nh:
         rep = nh // nkv
         k = jnp.repeat(k, rep, axis=2)
         v = jnp.repeat(v, rep, axis=2)
+    return k, v
+
+
+def _xla_path(q, k, v, kv_mask, sm_scale):
+    """Reference decode attention in XLA (also the fallback)."""
+    b, nh, hd = q.shape
+    k, v = _dequant_repeat(k, v, nh, q.dtype)
     s = jnp.einsum("bnd,blnd->bnl", q.astype(jnp.float32) * sm_scale,
                    k.astype(jnp.float32))
     s = jnp.where(kv_mask[:, None, :] > 0, s, -jnp.inf)
@@ -230,20 +239,11 @@ def chunk_decode_attention(
     shapes this targets, so the (B, nh, D, Lmax) score tensor is tiny;
     the int8 dequant-cast and GQA repeat fuse exactly as in _xla_path.
     """
-    if isinstance(k_cache, QuantArray):
-        from ..nn.quant import dequantize_activation
-
-        k_cache = dequantize_activation(k_cache, q.dtype)
-        v_cache = dequantize_activation(v_cache, q.dtype)
     b, d, nh, hd = q.shape
-    lmax = k_cache.shape[1]
-    nkv = k_cache.shape[2]
     if sm_scale is None:
         sm_scale = hd ** -0.5
-    if nkv != nh:
-        rep = nh // nkv
-        k_cache = jnp.repeat(k_cache, rep, axis=2)
-        v_cache = jnp.repeat(v_cache, rep, axis=2)
+    k_cache, v_cache = _dequant_repeat(k_cache, v_cache, nh, q.dtype)
+    lmax = k_cache.shape[1]
     s = jnp.einsum("bdnh,blnh->bndl", q.astype(jnp.float32) * sm_scale,
                    k_cache.astype(jnp.float32))
     slots = jnp.arange(lmax)

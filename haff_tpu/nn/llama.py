@@ -304,26 +304,26 @@ class LlamaBlock(nn.Module):
         # never silently half-load into an MoE tree.
         is_moe = (cfg.moe_num_experts > 0
                   and self.layer_idx % cfg.moe_every == cfg.moe_every - 1)
+        mlp_in = RMSNorm(eps=cfg.rms_norm_eps,
+                         param_dtype=self.param_dtype,
+                         name="post_attention_layernorm")(x)
         if is_moe:
             from .moe import MoEMLP
 
-            # Decode modes (attending over a KV cache) route with
-            # no-drop capacity: n is tiny there, and capacity drops
-            # would make a token's output depend on its forward's
-            # co-batch — breaking stepwise/chunked decode equivalence
-            # (see MoEMLP docstring).
-            decoding = (kv_cache is not None
-                        and cache_kv_segment_ids is not None)
-            mlp = MoEMLP(cfg=cfg, dtype=self.dtype,
-                         param_dtype=self.param_dtype,
-                         no_drop=decoding, name="moe")
+            # Serving paths (a KV cache is present) route per-row with
+            # no-drop capacity so a token's experts never depend on its
+            # co-batch; training keeps GShard global capacity. Padding
+            # tokens (segment id 0) are masked out of routing + aux.
+            serving = kv_cache is not None
+            mask = None if segment_ids is None else (segment_ids > 0)
+            mlp_out = MoEMLP(cfg=cfg, dtype=self.dtype,
+                             param_dtype=self.param_dtype,
+                             no_drop=serving, name="moe")(
+                                 mlp_in, token_mask=mask)
         else:
-            mlp = LlamaMLP(cfg=cfg, dtype=self.dtype,
-                           param_dtype=self.param_dtype, name="mlp")
-        mlp_out = mlp(
-            RMSNorm(eps=cfg.rms_norm_eps,
-                    param_dtype=self.param_dtype,
-                    name="post_attention_layernorm")(x))
+            mlp_out = LlamaMLP(cfg=cfg, dtype=self.dtype,
+                               param_dtype=self.param_dtype,
+                               name="mlp")(mlp_in)
         return x + mlp_out, new_cache
 
 

@@ -44,9 +44,9 @@ from ..core.config import LlamaConfig
 EXPERTS = "experts"
 
 
-def _expert_constraint(x):
-    """Hint GSPMD to keep the leading (expert) dim of an activation on
-    the mesh's `expert` axis when one is ambient; no-op otherwise."""
+def _expert_constraint(x, axis: int = 0):
+    """Hint GSPMD to keep dim `axis` (the expert dim) of an activation
+    on the mesh's `expert` axis when one is ambient; no-op otherwise."""
     from ..core.mesh import EXPERT_AXIS, ambient_mesh
 
     mesh = ambient_mesh()
@@ -54,21 +54,32 @@ def _expert_constraint(x):
         return x
     from jax.sharding import NamedSharding, PartitionSpec as P
 
-    spec = P(EXPERT_AXIS, *([None] * (x.ndim - 1)))
-    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
+    dims = [None] * x.ndim
+    dims[axis] = EXPERT_AXIS
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, P(*dims)))
 
 
 class MoEMLP(nn.Module):
     """Drop-in replacement for LlamaMLP (same (B, L, d) -> (B, L, d)
     contract) routing each token to top-k of E SwiGLU experts.
 
-    `no_drop=True` sets capacity = n so no token ever overflows: used
-    by the decode paths (nn/llama.py passes it when attending over a KV
-    cache), where n is tiny (B or B*draft_len) and dropping would make
-    a token's output depend on which OTHER tokens shared its forward —
-    stepwise decode, speculative chunk verify, and the full forward
-    must all route each token identically for exact-generation
-    guarantees (tests/test_speculative.py)."""
+    Two routing modes:
+
+      * training / plain forward (`no_drop=False`): GShard global
+        routing — one capacity pool over all b*l tokens, k-major cumsum
+        priority, overflowed tokens fall through to the residual.
+        `token_mask` (b, l) excludes padding: masked tokens claim no
+        capacity, produce zero output, and are excluded from the aux
+        loss statistics.
+      * decode / serving (`no_drop=True`, set by nn/llama.py whenever a
+        KV cache is present): PER-ROW routing with capacity = l, which
+        can never overflow (a token takes at most one slot per expert).
+        A token's expert assignment then depends only on itself — not
+        on co-batched requests or on how many draft tokens share the
+        verify forward — which is required both for deterministic
+        serving and for the speculative-decoding exactness contract
+        (stepwise decode == chunked verify, tests/test_speculative.py).
+    """
 
     cfg: LlamaConfig
     dtype: jnp.dtype = jnp.float32
@@ -76,7 +87,7 @@ class MoEMLP(nn.Module):
     no_drop: bool = False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, token_mask=None):
         cfg = self.cfg
         E = cfg.moe_num_experts
         K = min(cfg.moe_top_k, E)
@@ -110,27 +121,10 @@ class MoEMLP(nn.Module):
         if K > 1:
             gates = gates / (jnp.sum(gates, axis=0, keepdims=True) + 1e-9)
 
-        if self.no_drop:
-            capacity = n
-        else:
-            capacity = max(1, math.ceil(K * n / E
-                                        * cfg.moe_capacity_factor))
-
-        # k-major slot assignment: flatten (K, n) so every first choice
-        # outranks every second choice (GShard priority), then the
-        # per-expert running count is the capacity slot.
-        flat = onehot.reshape(K * n, E)
-        pos = (jnp.cumsum(flat, axis=0) - flat).reshape(K, n, E)
-        slot = jnp.sum(pos * onehot, axis=-1).astype(jnp.int32)  # (K, n)
-        kept = jnp.sum((pos < capacity) * onehot, axis=-1)  # (K, n) 0/1
-        slot_oh = jax.nn.one_hot(slot, capacity,
-                                 dtype=jnp.float32) * kept[..., None]
-
-        dispatch = jnp.einsum("kne,knc->nec", onehot, slot_oh)
-        combine = jnp.einsum("kne,knc,kn->nec", onehot, slot_oh, gates)
-
-        xin = jnp.einsum("nec,nd->ecd", dispatch.astype(x.dtype), xt)
-        xin = _expert_constraint(xin)
+        live = None
+        if token_mask is not None:
+            live = token_mask.reshape(n).astype(jnp.float32)
+            onehot = onehot * live[None, :, None]  # padding takes no slot
 
         init = nn.initializers.lecun_normal(batch_axis=(0,))
         wg = self.param(
@@ -149,18 +143,80 @@ class MoEMLP(nn.Module):
         def cast(w):
             return w.astype(self.dtype)
 
-        h = nn.silu(jnp.einsum("ecd,edf->ecf", xin, cast(wg))) \
-            * jnp.einsum("ecd,edf->ecf", xin, cast(wu))
-        ye = jnp.einsum("ecf,efd->ecd", h, cast(wd))
-        ye = _expert_constraint(ye)
+        if self.no_drop:
+            # Per-row routing: each row gets its own slot pool (cumsum
+            # along its own tokens, k-major priority), so a token's
+            # expert assignment never depends on co-batched rows.
+            # Short forwards (decode steps / speculative verify chunks)
+            # get capacity = l — a token takes at most one slot per
+            # expert, so NOTHING drops and stepwise == chunked exactly.
+            # Long rows (serving prefill) use the capacity factor
+            # per-row: capacity=l there would inflate the expert einsum
+            # E/K-fold on mostly-empty slots, and prefill drops are
+            # deterministic per row AND shared by the greedy and
+            # speculative paths, preserving their equivalence.
+            if l <= 64:
+                capacity = l
+            else:
+                capacity = max(1, min(l, math.ceil(
+                    K * l / E * cfg.moe_capacity_factor)))
+            oh_b = onehot.reshape(K, b, l, E).transpose(1, 0, 2, 3)
+            flat = oh_b.reshape(b, K * l, E)
+            pos = (jnp.cumsum(flat, axis=1) - flat).reshape(b, K, l, E)
+            slot = jnp.sum(pos * oh_b, axis=-1).astype(jnp.int32)
+            kept = jnp.sum((pos < capacity) * oh_b, axis=-1)
+            slot_oh = (jax.nn.one_hot(slot, capacity, dtype=jnp.float32)
+                       * kept[..., None])
+            gates_b = gates.reshape(K, b, l).transpose(1, 0, 2)
+            dispatch = jnp.einsum("bkle,bklc->blec", oh_b, slot_oh)
+            combine = jnp.einsum("bkle,bklc,bkl->blec", oh_b, slot_oh,
+                                 gates_b)
+            xin = jnp.einsum("blec,bld->becd", dispatch.astype(x.dtype),
+                             x)
+            xin = _expert_constraint(xin, axis=1)
+            h = nn.silu(jnp.einsum("becd,edf->becf", xin, cast(wg))) \
+                * jnp.einsum("becd,edf->becf", xin, cast(wu))
+            ye = jnp.einsum("becf,efd->becd", h, cast(wd))
+            ye = _expert_constraint(ye, axis=1)
+            y = jnp.einsum("blec,becd->bld", combine.astype(x.dtype), ye)
+            y = y.reshape(n, d)
+        else:
+            capacity = max(1, math.ceil(K * n / E
+                                        * cfg.moe_capacity_factor))
 
-        y = jnp.einsum("nec,ecd->nd", combine.astype(x.dtype), ye)
+            # k-major slot assignment: flatten (K, n) so every first
+            # choice outranks every second choice (GShard priority),
+            # then the per-expert running count is the capacity slot.
+            flat = onehot.reshape(K * n, E)
+            pos = (jnp.cumsum(flat, axis=0) - flat).reshape(K, n, E)
+            slot = jnp.sum(pos * onehot, axis=-1).astype(jnp.int32)
+            kept = jnp.sum((pos < capacity) * onehot, axis=-1)  # (K, n)
+            slot_oh = jax.nn.one_hot(slot, capacity,
+                                     dtype=jnp.float32) * kept[..., None]
+
+            dispatch = jnp.einsum("kne,knc->nec", onehot, slot_oh)
+            combine = jnp.einsum("kne,knc,kn->nec", onehot, slot_oh,
+                                 gates)
+
+            xin = jnp.einsum("nec,nd->ecd", dispatch.astype(x.dtype), xt)
+            xin = _expert_constraint(xin)
+            h = nn.silu(jnp.einsum("ecd,edf->ecf", xin, cast(wg))) \
+                * jnp.einsum("ecd,edf->ecf", xin, cast(wu))
+            ye = jnp.einsum("ecf,efd->ecd", h, cast(wd))
+            ye = _expert_constraint(ye)
+            y = jnp.einsum("nec,ecd->nd", combine.astype(x.dtype), ye)
 
         # Switch load-balance loss: E * sum_e f_e * P_e where f_e is the
         # top-1 assignment fraction and P_e the mean router prob; == 1.0
-        # at perfect balance. Sown (no-op unless "moe_aux" is mutable).
-        f_e = jnp.mean(onehot[0], axis=0)
-        p_e = jnp.mean(probs, axis=0)
+        # at perfect balance. Padding tokens are excluded when a
+        # token_mask is given. Sown (no-op unless "moe_aux" is mutable).
+        if live is not None:
+            denom = jnp.maximum(jnp.sum(live), 1.0)
+            f_e = jnp.sum(onehot[0], axis=0) / denom
+            p_e = jnp.sum(probs * live[:, None], axis=0) / denom
+        else:
+            f_e = jnp.mean(onehot[0], axis=0)
+            p_e = jnp.mean(probs, axis=0)
         self.sow("moe_aux", "load_balance",
                  E * jnp.sum(f_e * p_e))
 

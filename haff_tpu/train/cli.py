@@ -233,6 +233,13 @@ def main(argv=None):
             "data x fsdp x ep x tensor instead")
     if args.moe_experts == 0 and args.ep > 1:
         raise SystemExit("--ep > 1 requires --moe_experts > 0")
+    if args.moe_experts > 0 and args.moe_every < 1:
+        raise SystemExit("--moe_every must be >= 1")
+    if args.ep > 1 and args.moe_experts % args.ep != 0:
+        raise SystemExit(
+            f"--moe_experts {args.moe_experts} must be divisible by "
+            f"--ep {args.ep} (stacked expert weights shard over the "
+            "expert axis)")
     mesh = build_mesh(MeshConfig(data=-1, pp=args.pp, fsdp=args.fsdp,
                                  ep=args.ep, sp=args.sp,
                                  tensor=args.tensor))

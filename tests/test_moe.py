@@ -246,3 +246,93 @@ def test_moe_train_step_includes_aux_loss():
         losses[w] = float(metrics["loss"])
         assert np.isfinite(losses[w])
     assert losses[0.5] != pytest.approx(losses[0.0])
+
+
+def test_moe_per_row_no_drop_co_batch_independent():
+    """no_drop (serving) mode routes per row: a row's output must be
+    identical whether it shares the forward with other rows or not, and
+    for l <= 64 nothing ever drops — each token's output equals
+    sum_k gate_k * expert_k(token) exactly."""
+    cfg = _cfg()
+    moe, params, x = _init(cfg, b=3, l=6)
+    moe_nd = MoEMLP(cfg=cfg, no_drop=True)
+    y_all = moe_nd.apply({"params": params}, x)
+    for r in range(3):
+        y_one = moe_nd.apply({"params": params}, x[r:r + 1])
+        np.testing.assert_allclose(np.asarray(y_all[r]),
+                                   np.asarray(y_one[0]),
+                                   rtol=1e-5, atol=1e-6,
+                                   err_msg=f"row {r} depends on co-batch")
+
+    # brute-force per-token (no capacity at all == no-drop)
+    d = cfg.hidden_size
+    E, K = cfg.moe_num_experts, cfg.moe_top_k
+    xt = np.asarray(x, np.float64).reshape(-1, d)
+    router = np.asarray(params["router"]["kernel"], np.float64)
+    logits = xt @ router
+    probs = np.exp(logits - logits.max(-1, keepdims=True))
+    probs /= probs.sum(-1, keepdims=True)
+    idx = np.argsort(-probs, axis=-1)[:, :K]
+    gates = np.take_along_axis(probs, idx, axis=-1)
+    gates = gates / (gates.sum(-1, keepdims=True) + 1e-9)
+    wg = np.asarray(params["gate_proj"], np.float64)
+    wu = np.asarray(params["up_proj"], np.float64)
+    wd = np.asarray(params["down_proj"], np.float64)
+
+    def silu(v):
+        return v / (1 + np.exp(-v))
+
+    y_ref = np.zeros_like(xt)
+    for t in range(xt.shape[0]):
+        for k in range(K):
+            e = idx[t, k]
+            h = silu(xt[t] @ wg[e]) * (xt[t] @ wu[e])
+            y_ref[t] += gates[t, k] * (h @ wd[e])
+    np.testing.assert_allclose(np.asarray(y_all).reshape(-1, d), y_ref,
+                               rtol=1e-4, atol=1e-5)
+
+
+def test_moe_token_mask_excludes_padding():
+    """Masked (padding) tokens claim no capacity, produce zero MLP
+    output, and are excluded from the aux-loss statistics; changing
+    padding content never changes live-token outputs."""
+    cfg = _cfg(moe_capacity_factor=0.6)  # tight: drops likely at n=16
+    moe, params, x = _init(cfg, b=2, l=8)
+    mask = jnp.asarray([[1, 1, 1, 1, 1, 0, 0, 0],
+                        [1, 1, 1, 0, 0, 0, 0, 0]], jnp.int32)
+    y1, mut1 = moe.apply({"params": params}, x, mask > 0,
+                         mutable=("moe_aux",))
+    # padding output must be exactly zero (residual passthrough)
+    pad = np.asarray(~(np.asarray(mask) > 0))
+    np.testing.assert_array_equal(
+        np.asarray(y1)[pad], np.zeros_like(np.asarray(y1)[pad]))
+
+    # perturb the padding tokens only -> live outputs unchanged
+    noise = jax.random.normal(jax.random.PRNGKey(9), x.shape) * 10
+    x2 = jnp.where((mask > 0)[..., None], x, x + noise)
+    y2 = moe.apply({"params": params}, x2, mask > 0)
+    live = np.asarray(mask) > 0
+    np.testing.assert_allclose(np.asarray(y1)[live], np.asarray(y2)[live],
+                               rtol=1e-5, atol=1e-6)
+
+    # aux loss over live tokens only: all-live vs padded differ when
+    # the padding would have skewed the stats
+    _, mut_full = moe.apply({"params": params}, x,
+                            jnp.ones_like(mask) > 0,
+                            mutable=("moe_aux",))
+    aux_masked = float(jax.tree_util.tree_leaves(mut1["moe_aux"])[0])
+    assert np.isfinite(aux_masked) and aux_masked > 0
+
+
+def test_moe_per_row_long_prefill_uses_capacity_factor():
+    """l > 64 rows (serving prefill) route per-row with the capacity
+    factor — still co-batch independent, possibly dropping within a
+    row (deterministically)."""
+    cfg = _cfg()
+    moe, params, _ = _init(cfg, b=1, l=8)
+    x = jax.random.normal(jax.random.PRNGKey(3), (2, 96, cfg.hidden_size))
+    moe_nd = MoEMLP(cfg=cfg, no_drop=True)
+    y_all = moe_nd.apply({"params": params}, x)
+    y_one = moe_nd.apply({"params": params}, x[:1])
+    np.testing.assert_allclose(np.asarray(y_all[0]), np.asarray(y_one[0]),
+                               rtol=1e-5, atol=1e-6)
