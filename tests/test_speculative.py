@@ -289,3 +289,39 @@ def test_speculative_with_moe_decoder():
     np.testing.assert_array_equal(np.asarray(spec.lengths),
                                   np.asarray(gen.lengths))
     assert int(spec.steps) < T  # oracle corpus actually accelerates
+
+
+def test_speculative_with_w8a8_serving_params():
+    """The serving composition the campaign benches (--load_in_8bit
+    --speculative): chunk-verify forwards run through QDense int8
+    kernels; output must equal the per-token path on the SAME quantized
+    params."""
+    import sys
+    sys.path.insert(0, "tests")
+    from test_lisa_model import make_tiny_batch
+
+    from haff_tpu.infer.evaluate import make_jitted_evaluate
+    from haff_tpu.model.lisa import LisaModel
+    from haff_tpu.nn.quant import lisa_serving_predicate, quantize_dense_tree
+
+    cfg = ModelConfig.preset("tiny")
+    model = LisaModel(cfg=cfg)
+    batch = make_tiny_batch(cfg)
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), batch)
+    qparams = {"params": quantize_dense_tree(params["params"],
+                                             lisa_serving_predicate)}
+
+    T = 4
+    args = (qparams, batch.images_sam, batch.images_clip,
+            batch.input_ids[:2], batch.attention_mask[:2])
+    plain = make_jitted_evaluate(model, T, eos_id=2)(*args)
+    corpus, lens = make_lookup_corpus([[3, 4, 5]], width=8, batch=1,
+                                      pad_id=2)
+    spec = make_jitted_evaluate(
+        model, T, eos_id=2, draft_corpus=corpus[0], corpus_lengths=lens[:1],
+        draft_len=3)(*args)
+    np.testing.assert_array_equal(np.asarray(spec.output_ids),
+                                  np.asarray(plain.output_ids))
+    np.testing.assert_allclose(np.asarray(spec.pred_masks_left),
+                               np.asarray(plain.pred_masks_left),
+                               rtol=1e-3, atol=1e-3)
