@@ -379,15 +379,18 @@ def _natural_band_tables(q_nat, rel_h, rel_w, hw: Tuple[int, int],
     Rw = get_rel_pos(W, W, rel_w)                     # (W, W, d)
     Rh = jnp.pad(Rh, ((0, 0), (0, kp - H), (0, 0))).astype(q_nat.dtype)
     Rw = jnp.pad(Rw, ((0, 0), (0, kp - W), (0, 0))).astype(q_nat.dtype)
-    r_q = q_nat.reshape(bw_, H, W, nh, d)
-    # l-major output order; bf16 operands with fp32 accumulation.
-    # (Measured on v5e at batch 24: this einsum pair ~4.5 ms/layer —
-    # per-row unrolled matmuls, merged-free-dim forms and tiled batched
-    # dots all measure the same or worse; the tiny kp=16 output width
-    # keeps the MXU at ~12% regardless of formulation.)
-    Bh = jnp.einsum("bhwnc,hkc->bhwnk", r_q, Rh,
+    # Pre-gathered (L, kp, d) tables + l-batched einsum: the q operand
+    # stays in its natural l-major layout with NO reshape to (H, W)
+    # spatial form, so XLA emits no relayout. A/B on v5e at batch 24
+    # (tools/bench_kernels.py bandforms): this form 4.75 ms/layer vs
+    # 5.85 for the h/w-batched spatial form and 5.08 for a fused-concat
+    # variant; the tiny kp=16 output width bounds the MXU rate in every
+    # formulation, so the layout is the whole difference.
+    rows = np.arange(l) // W
+    cols = np.arange(l) % W
+    Bh = jnp.einsum("blnc,lkc->blnk", q_nat, Rh[rows],
                     preferred_element_type=jnp.float32)
-    Bw = jnp.einsum("bhwnc,wkc->bhwnk", r_q, Rw,
+    Bw = jnp.einsum("blnc,lkc->blnk", q_nat, Rw[cols],
                     preferred_element_type=jnp.float32)
     return (Bh.astype(q_nat.dtype).reshape(bw_, l, nh * kp),
             Bw.astype(q_nat.dtype).reshape(bw_, l, nh * kp))

@@ -7,6 +7,10 @@ Subcommands (python tools/bench_kernels.py <cmd> [args]):
                   full block — localizes the encoder's per-layer cost
                   (reference counterpart: image_encoder.py:263-318).
   bandforms [B]   A/B of rel-pos band-table einsum formulations.
+  winvar [B] [sel] A/B of windowed-attention kernel structures (head
+                  slicing vs head-on-grid DMA vs two-dot vs in-kernel
+                  transpose) at several group sizes; band tables are
+                  precomputed so only kernel structure is measured.
   int8mxu         does the MXU run int8 x int8 at 2x bf16 rate? Pallas
                   tiled matmul, identical structure, int8 vs bf16.
   w8a8 [--interpret]
@@ -91,8 +95,9 @@ def cmd_winprof(batch=24, n=10):
         def body(i, acc):
             bh, bw = _natural_band_tables(
                 q4 + acc * 0, rel_h, rel_w, (WIN, WIN), kp)
-            return q4 + (jnp.sum(bh.astype(jnp.float32))
-                         + jnp.sum(bw.astype(jnp.float32))) * 1e-30
+            return (q4 + (jnp.sum(bh.astype(jnp.float32))
+                          + jnp.sum(bw.astype(jnp.float32)))
+                    * 1e-30).astype(q4.dtype)
         out = jax.lax.fori_loop(0, n, body, q4)
         return jnp.sum(out.astype(jnp.float32))
 
@@ -102,7 +107,8 @@ def cmd_winprof(batch=24, n=10):
             o = sam_window_attention_qkv(
                 qkv + acc * 1e-30, rel_h, rel_w, (WIN, WIN), NH,
                 sm_scale=scale)
-            return qkv + jnp.sum(o.astype(jnp.float32)) * 1e-30
+            return (qkv + jnp.sum(o.astype(jnp.float32))
+                    * 1e-30).astype(qkv.dtype)
         out = jax.lax.fori_loop(0, n, body, qkv)
         return jnp.sum(out.astype(jnp.float32))
 
@@ -148,8 +154,9 @@ def cmd_bandforms(batch=24, n=10):
         def run(q4):
             def body(i, acc):
                 bh, bw = fn(q4 + acc[..., :1, :1, :1] * 0)
-                return q4 + (jnp.sum(bh.astype(jnp.float32))
-                             + jnp.sum(bw.astype(jnp.float32))) * 1e-30
+                return (q4 + (jnp.sum(bh.astype(jnp.float32))
+                              + jnp.sum(bw.astype(jnp.float32)))
+                        * 1e-30).astype(q4.dtype)
             out = jax.lax.fori_loop(0, n, body, q4)
             return jnp.sum(out.astype(jnp.float32))
         try:
@@ -198,6 +205,231 @@ def cmd_bandforms(batch=24, n=10):
     for name, fn in (("v1-current", v1), ("v2-pregather", v2),
                      ("v3-hwmajor", v3), ("v4-fusedcat", v4)):
         bench(name, fn)
+
+
+# --------------------------------------------------------------------------
+# winvar — windowed-attention KERNEL structure A/B (band tables given)
+# --------------------------------------------------------------------------
+
+def cmd_winvar(batch=24, n=10):
+    """A/B of windowed-attention kernel structures, band tables
+    precomputed outside the timed region (isolates kernel cost):
+
+      v0-inkslice[G]  production kernel: (G, L, 3C) lane blocks, heads
+                      sliced in-kernel at misaligned 80-lane offsets.
+      v1-headgrid[G]  heads on the GRID: 5D BlockSpec delivers aligned
+                      (G, L, D) per-head blocks by DMA; no in-kernel
+                      lane slicing (strided 160 B HBM bursts instead).
+      v2-twodot[G]    headgrid + s = dot(q,k) + dot(bcat, ecat): kills
+                      the misaligned lane concat at 2x QK MXU cost.
+      v3-transpose[G] in-kernel (G,L,NH,D)->(G*NH,L,D) relayout, ONE
+                      batched dot over all heads.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+
+    from haff_tpu.kernels.sam_attention import _natural_band_tables
+
+    WIN, C, NH, L, D, BW, kp, _, _, rel_h, rel_w = _win_setup(batch)
+    H = W = WIN
+    rng = np.random.RandomState(0)
+    qkv = jnp.asarray(rng.randn(BW, L, 3 * C).astype(np.float32),
+                      jnp.bfloat16)
+    q_nat = qkv[:, :, :C].reshape(BW, L, NH, D)
+    bh, bw = _natural_band_tables(q_nat, rel_h, rel_w, (WIN, WIN), kp)
+    bh = jax.device_put(bh)
+    bw = jax.device_put(bw)
+    sm_scale = D ** -0.5
+
+    def iota_eh_ew(l, dtype):
+        rows = jax.lax.broadcasted_iota(jnp.int32, (l, kp), 0)
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (l, kp), 1)
+        eh = (rows // W == ridx).astype(dtype)
+        ew = (rows % W == ridx).astype(dtype)
+        return eh, ew
+
+    # ---- v0: production structure (in-kernel head lane slices) ----
+    def k_v0(q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref):
+        g, l, _ = q_ref.shape
+        eh, ew = iota_eh_ew(l, q_ref.dtype)
+        ehg = jnp.broadcast_to(eh[None], (g, l, kp))
+        ewg = jnp.broadcast_to(ew[None], (g, l, kp))
+        for h in range(NH):
+            qh = q_ref[:, :, h * D:(h + 1) * D]
+            kh = k_ref[:, :, C + h * D:C + (h + 1) * D]
+            vh = v_ref[:, :, 2 * C + h * D:2 * C + (h + 1) * D]
+            bhh = bh_ref[:, :, h * kp:(h + 1) * kp]
+            bwh = bw_ref[:, :, h * kp:(h + 1) * kp]
+            qs = (qh.astype(jnp.float32) * sm_scale).astype(qh.dtype)
+            qa = jnp.concatenate([qs, bhh, bwh], axis=2)
+            ka = jnp.concatenate([kh, ehg, ewg], axis=2)
+            s = jax.lax.dot_general(
+                qa, ka, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            lsum = jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(
+                p.astype(vh.dtype), vh, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            o_ref[:, :, h * D:(h + 1) * D] = (o / lsum).astype(o_ref.dtype)
+
+    def run_v0(qkv, bh, bw, group):
+        bwp = qkv.shape[0]
+        assert bwp % group == 0
+        return pl.pallas_call(
+            k_v0,
+            grid=(bwp // group,),
+            in_specs=[
+                pl.BlockSpec((group, L, 3 * C), lambda i: (i, 0, 0)),
+                pl.BlockSpec((group, L, 3 * C), lambda i: (i, 0, 0)),
+                pl.BlockSpec((group, L, 3 * C), lambda i: (i, 0, 0)),
+                pl.BlockSpec((group, L, NH * kp), lambda i: (i, 0, 0)),
+                pl.BlockSpec((group, L, NH * kp), lambda i: (i, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec((group, L, C), lambda i: (i, 0, 0)),
+            out_shape=jax.ShapeDtypeStruct((bwp, L, C), qkv.dtype),
+        )(qkv, qkv, qkv, bh, bw)
+
+    # ---- v4: 8-head (640-lane) blocks + head-half grid dim: legal
+    # lane blocking (640 % 128 == 0) shrinks per-step VMEM 2x, so the
+    # window-batch G can grow to amortize MXU fill latency. ----
+    HH = NH // 2  # heads per step
+
+    def k_v4(q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref):
+        g, l, _ = q_ref.shape
+        eh, ew = iota_eh_ew(l, q_ref.dtype)
+        ehg = jnp.broadcast_to(eh[None], (g, l, kp))
+        ewg = jnp.broadcast_to(ew[None], (g, l, kp))
+        for h in range(HH):
+            qh = q_ref[:, :, h * D:(h + 1) * D]
+            kh = k_ref[:, :, h * D:(h + 1) * D]
+            vh = v_ref[:, :, h * D:(h + 1) * D]
+            bhh = bh_ref[:, :, h * kp:(h + 1) * kp]
+            bwh = bw_ref[:, :, h * kp:(h + 1) * kp]
+            qs = (qh.astype(jnp.float32) * sm_scale).astype(qh.dtype)
+            qa = jnp.concatenate([qs, bhh, bwh], axis=2)
+            ka = jnp.concatenate([kh, ehg, ewg], axis=2)
+            s = jax.lax.dot_general(
+                qa, ka, (((2,), (2,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            m = jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s - m)
+            lsum = jnp.sum(p, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(
+                p.astype(vh.dtype), vh, (((2,), (1,)), ((0,), (0,))),
+                preferred_element_type=jnp.float32)
+            o_ref[:, :, h * D:(h + 1) * D] = (o / lsum).astype(o_ref.dtype)
+
+    def run_v4(qkv, bh, bw, group):
+        bwp = qkv.shape[0]
+        HC = HH * D     # 640
+        HB = HH * kp    # 128
+        out = pl.pallas_call(
+            k_v4,
+            grid=(bwp // group, 2),
+            in_specs=[
+                pl.BlockSpec((group, L, HC), lambda i, h: (i, 0, h)),
+                pl.BlockSpec((group, L, HC), lambda i, h: (i, 0, 2 + h)),
+                pl.BlockSpec((group, L, HC), lambda i, h: (i, 0, 4 + h)),
+                pl.BlockSpec((group, L, HB), lambda i, h: (i, 0, h)),
+                pl.BlockSpec((group, L, HB), lambda i, h: (i, 0, h)),
+            ],
+            out_specs=pl.BlockSpec((group, L, HC), lambda i, h: (i, 0, h)),
+            out_shape=jax.ShapeDtypeStruct((bwp, L, C), qkv.dtype),
+        )(qkv, qkv, qkv, bh, bw)
+        return out
+
+    # ---- v5: one giant batched dot — stack all heads of the step into
+    # the batch dim so Mosaic amortizes MXU fill across HH*G dots. ----
+    def k_v5(q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref):
+        g, l, _ = q_ref.shape
+        eh, ew = iota_eh_ew(l, q_ref.dtype)
+        qa_list, ka_list, v_list = [], [], []
+        for h in range(HH):
+            qh = q_ref[:, :, h * D:(h + 1) * D]
+            kh = k_ref[:, :, h * D:(h + 1) * D]
+            v_list.append(v_ref[:, :, h * D:(h + 1) * D])
+            bhh = bh_ref[:, :, h * kp:(h + 1) * kp]
+            bwh = bw_ref[:, :, h * kp:(h + 1) * kp]
+            qs = (qh.astype(jnp.float32) * sm_scale).astype(qh.dtype)
+            qa_list.append(jnp.concatenate([qs, bhh, bwh], axis=2))
+            ka_list.append(jnp.concatenate(
+                [kh, jnp.broadcast_to(eh[None], (g, l, kp)),
+                 jnp.broadcast_to(ew[None], (g, l, kp))], axis=2))
+        qa = jnp.concatenate(qa_list, axis=0)   # (HH*G, L, D+2kp)
+        ka = jnp.concatenate(ka_list, axis=0)
+        vv = jnp.concatenate(v_list, axis=0)
+        s = jax.lax.dot_general(qa, ka, (((2,), (2,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        m = jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s - m)
+        lsum = jnp.sum(p, axis=-1, keepdims=True)
+        o = jax.lax.dot_general(p.astype(vv.dtype), vv,
+                                (((2,), (1,)), ((0,), (0,))),
+                                preferred_element_type=jnp.float32)
+        o = o / lsum                             # (HH*G, L, D)
+        for h in range(HH):
+            o_ref[:, :, h * D:(h + 1) * D] = \
+                o[h * g:(h + 1) * g].astype(o_ref.dtype)
+
+    def run_v5(qkv, bh, bw, group):
+        bwp = qkv.shape[0]
+        HC = HH * D
+        HB = HH * kp
+        out = pl.pallas_call(
+            k_v5,
+            grid=(bwp // group, 2),
+            in_specs=[
+                pl.BlockSpec((group, L, HC), lambda i, h: (i, 0, h)),
+                pl.BlockSpec((group, L, HC), lambda i, h: (i, 0, 2 + h)),
+                pl.BlockSpec((group, L, HC), lambda i, h: (i, 0, 4 + h)),
+                pl.BlockSpec((group, L, HB), lambda i, h: (i, 0, h)),
+                pl.BlockSpec((group, L, HB), lambda i, h: (i, 0, h)),
+            ],
+            out_specs=pl.BlockSpec((group, L, HC), lambda i, h: (i, 0, h)),
+            out_shape=jax.ShapeDtypeStruct((bwp, L, C), qkv.dtype),
+        )(qkv, qkv, qkv, bh, bw)
+        return out
+
+    variants = {"v0-inkslice": (run_v0, (1,)),
+                "v4-lane640": (run_v4, (2, 4, 8)),
+                "v5-dotbatch": (run_v5, (2, 4))}
+    if len(sys.argv) > 3:  # optional filter: winvar B name
+        sel = sys.argv[3]
+        variants = {k: v for k, v in variants.items() if sel in k}
+
+    ref = None
+    for name, (run_fn, groups) in variants.items():
+        for g in groups:
+            if BW % g:
+                continue
+            try:
+                out = jax.jit(functools.partial(run_fn, group=g))(
+                    qkv, bh, bw)
+                if ref is None:
+                    ref = np.asarray(out[:50], np.float32)
+                    err = 0.0
+                else:
+                    err = float(np.max(np.abs(
+                        np.asarray(out[:50], np.float32) - ref)))
+
+                @jax.jit
+                def chain(qkv, bh, bw):
+                    def body(i, carry):
+                        o = run_fn(qkv, carry, bw, group=g)
+                        s = jnp.sum(o.astype(jnp.float32)) * 1e-30
+                        return (carry + s).astype(carry.dtype)
+                    out = jax.lax.fori_loop(0, n, body, bh)
+                    return jnp.sum(out.astype(jnp.float32))
+
+                dt = timeit(chain, qkv, bh, bw, n=n)
+                print(f"{name:14s} G={g:<3d} {dt * 1e3:8.3f} ms/layer"
+                      f"  maxdiff={err:.4f}", flush=True)
+            except Exception as e:
+                print(f"{name:14s} G={g:<3d} FAILED {type(e).__name__} "
+                      f"{str(e)[:140]}", flush=True)
 
 
 # --------------------------------------------------------------------------
@@ -399,13 +631,15 @@ def cmd_w4a16(n=25):
 
 def main():
     cmds = {"winprof": cmd_winprof, "bandforms": cmd_bandforms,
-            "int8mxu": cmd_int8mxu, "w8a8": cmd_w8a8, "w4a16": cmd_w4a16}
+            "winvar": cmd_winvar, "int8mxu": cmd_int8mxu,
+            "w8a8": cmd_w8a8, "w4a16": cmd_w4a16}
     if len(sys.argv) < 2 or sys.argv[1] not in cmds:
         print(__doc__)
         sys.exit(2)
     cmd, rest = sys.argv[1], sys.argv[2:]
     kwargs = {}
-    if cmd in ("winprof", "bandforms") and rest and rest[0].isdigit():
+    if cmd in ("winprof", "bandforms", "winvar") and rest \
+            and rest[0].isdigit():
         kwargs["batch"] = int(rest[0])
     if cmd == "w8a8" and "--interpret" in rest:
         kwargs["interpret"] = True
