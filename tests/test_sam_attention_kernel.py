@@ -147,3 +147,30 @@ def test_window_qkv_kernel_group_override(group, monkeypatch):
     ours = sam_window_attention_qkv(qkv, rel_h, rel_w, (wh, ww), nh,
                                     interpret=True)
     np.testing.assert_array_equal(np.asarray(base), np.asarray(ours))
+
+
+@pytest.mark.parametrize("bw", [1, 4, 5])
+def test_window_qkv_kernel_dotbatch_structure(bw):
+    """nh=16 with 128-aligned half-head lane blocks selects the
+    dot-batched kernel structure (_window_qkv_kernel_db: head-half grid
+    dim, one batched dot across all heads of the step); must match the
+    XLA path including at odd/padded window counts."""
+    from haff_tpu.kernels.sam_attention import (
+        _window_qkv_xla, sam_window_attention_qkv)
+
+    rng = np.random.RandomState(3)
+    nh, d = 16, 16          # hh*d = 128, kp=16 -> hh*kp = 128: db path
+    c = nh * d
+    wh = ww = 8
+    l = wh * ww
+    qkv = jnp.asarray(
+        rng.randn(bw, l, 3 * c).astype(np.float32) * 0.3, jnp.bfloat16)
+    rel_h = jnp.asarray(rng.randn(2 * wh - 1, d).astype(np.float32) * 0.05)
+    rel_w = jnp.asarray(rng.randn(2 * ww - 1, d).astype(np.float32) * 0.05)
+    ours = sam_window_attention_qkv(qkv, rel_h, rel_w, (wh, ww), nh,
+                                    interpret=True)
+    ref = _window_qkv_xla(qkv, rel_h, rel_w, (wh, ww), nh, d ** -0.5)
+    assert ours.shape == (bw, l, c)
+    np.testing.assert_allclose(
+        np.asarray(ours, np.float32), np.asarray(ref, np.float32),
+        rtol=0.05, atol=0.02)
