@@ -37,12 +37,37 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np  # noqa: E402
 
 
+_TUNNEL_CONST = None
+
+
+def _tunnel_const():
+    """Fixed per-call dispatch+readback round trip (~34 ms through the
+    axon tunnel, ~0 locally), measured once with a trivial jit. Short
+    chains would otherwise fold this constant into every per-iteration
+    number (int8mxu at n=8 read 5.4 TOP/s on a 118 TF/s chip)."""
+    global _TUNNEL_CONST
+    if _TUNNEL_CONST is None:
+        import jax
+        import jax.numpy as jnp
+        f = jax.jit(lambda x: x * 1.0)
+        x = jnp.zeros(())
+        float(f(x))
+        ts = []
+        for _ in range(5):
+            t0 = time.perf_counter()
+            float(f(x))
+            ts.append(time.perf_counter() - t0)
+        _TUNNEL_CONST = min(ts)
+    return _TUNNEL_CONST
+
+
 def timeit(run, *args, n=1):
-    """Compile+warm, then one timed call of an N-chained jit."""
+    """Compile+warm, then one timed call of an N-chained jit; the fixed
+    tunnel round-trip constant is subtracted before dividing by N."""
     float(run(*args))
     t0 = time.perf_counter()
     float(run(*args))
-    return (time.perf_counter() - t0) / n
+    return max(time.perf_counter() - t0 - _tunnel_const(), 0.0) / n
 
 
 # --------------------------------------------------------------------------
@@ -436,7 +461,7 @@ def cmd_winvar(batch=24, n=10):
 # int8mxu — raw MXU int8 vs bf16 rate
 # --------------------------------------------------------------------------
 
-def cmd_int8mxu(n=8):
+def cmd_int8mxu(n=100):
     import jax
     import jax.numpy as jnp
     from jax.experimental import pallas as pl
@@ -641,6 +666,8 @@ def main():
     if cmd in ("winprof", "bandforms", "winvar") and rest \
             and rest[0].isdigit():
         kwargs["batch"] = int(rest[0])
+    if cmd == "int8mxu" and rest and rest[0].isdigit():
+        kwargs["n"] = int(rest[0])
     if cmd == "w8a8" and "--interpret" in rest:
         kwargs["interpret"] = True
     cmds[cmd](**kwargs)
