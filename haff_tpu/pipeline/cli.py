@@ -79,50 +79,95 @@ def acquire_video(video_path: str, stride: int = 1,
     return np.stack(frames)
 
 
+def _run_seeded(args, frames):
+    """Seeded propagation + packing on acquired frames (stages 2-12)."""
+    import cv2
+
+    from .orchestrate import run_pipeline_from_video
+
+    if not args.seeds_dir:
+        raise SystemExit("seeded mode requires --seeds_dir")
+
+    def seed(name):
+        m = cv2.imread(os.path.join(args.seeds_dir, name),
+                       cv2.IMREAD_GRAYSCALE)
+        return ((m > 127).astype(np.uint8) if m is not None
+                else np.zeros(frames.shape[1:3], np.uint8))
+
+    ann_p = os.path.join(args.seeds_dir, "annotation.json")
+    ann = json.load(open(ann_p)) if os.path.exists(ann_p) else {}
+    shards = run_pipeline_from_video(
+        frames, seed("hand_left.png"), seed("hand_right.png"),
+        seed("object.png"), ann.get("narration", ""),
+        ann.get("taxonomy3", [1, 0, 0]), args.out_dir,
+        dilate_factor=args.dilate, shard_name=args.shard_name,
+        shard_size=args.shard_size)
+    print(f"wrote {len(shards)} shard pair(s) to {args.out_dir}")
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     src = p.add_mutually_exclusive_group(required=True)
     src.add_argument("--frames_dir")
     src.add_argument("--video", help="raw clip: stage-1 acquisition + "
                      "seeded propagation (needs --seeds_dir)")
+    src.add_argument("--epic", nargs=2, metavar=("PARTICIPANT", "VIDEO"),
+                     help="download+extract EPIC-KITCHENS rgb frames "
+                     "(download_video.bash analog); with --seeds_dir "
+                     "continues into the seeded pipeline")
+    p.add_argument("--data_dir", default="EPIC_DATA",
+                   help="EPIC data root for --epic")
+    p.add_argument("--split", default="train",
+                   help="EPIC-55 split path segment for --epic")
+    p.add_argument("--epic100", action="store_true",
+                   help="use the EPIC-100 extension dataset layout")
+    p.add_argument("--epic_base_url",
+                   help="mirror/base URL override (any urllib scheme)")
     p.add_argument("--seeds_dir", help="dir with hand_left.png/"
                    "hand_right.png/object.png frame-0 seeds + "
                    "annotation.json for --video mode")
     p.add_argument("--stride", type=int, default=1)
     p.add_argument("--max_frames", type=int, default=0)
-    p.add_argument("--out_dir", required=True)
+    p.add_argument("--out_dir", help="shard output dir (required for "
+                   "every mode except acquisition-only --epic)")
     p.add_argument("--dilate", type=int, default=10)
     p.add_argument("--shard_size", type=int, default=512)
     p.add_argument("--shard_name", default="P00")
     p.add_argument("--flip_augment", action="store_true")
     args = p.parse_args(argv)
+    if not args.out_dir and not (args.epic and not args.seeds_dir):
+        p.error("--out_dir is required except for acquisition-only --epic")
 
     from .orchestrate import run_pipeline
 
-    if args.video:
+    if args.epic:
+        from .acquire import acquire_epic_video
+
+        participant, video = args.epic
+        frames_dir = acquire_epic_video(
+            args.data_dir, participant, video, split=args.split,
+            epic100=args.epic100, base_url=args.epic_base_url)
+        names = sorted(f for f in os.listdir(frames_dir)
+                       if f.lower().endswith((".jpg", ".jpeg", ".png")))
+        print(f"acquired {len(names)} frames -> {frames_dir}")
+        if not args.seeds_dir:
+            return  # acquisition-only, like download_video.bash
         import cv2
 
-        from .orchestrate import run_pipeline_from_video
+        sel = names[::args.stride]
+        if args.max_frames:
+            sel = sel[:args.max_frames]
+        frames = np.stack([
+            cv2.cvtColor(cv2.imread(os.path.join(frames_dir, f)),
+                         cv2.COLOR_BGR2RGB) for f in sel])
+        _run_seeded(args, frames)
+        return
 
+    if args.video:
         if not args.seeds_dir:
             raise SystemExit("--video requires --seeds_dir")
         frames = acquire_video(args.video, args.stride, args.max_frames)
-
-        def seed(name):
-            m = cv2.imread(os.path.join(args.seeds_dir, name),
-                           cv2.IMREAD_GRAYSCALE)
-            return ((m > 127).astype(np.uint8) if m is not None
-                    else np.zeros(frames.shape[1:3], np.uint8))
-
-        ann_p = os.path.join(args.seeds_dir, "annotation.json")
-        ann = json.load(open(ann_p)) if os.path.exists(ann_p) else {}
-        shards = run_pipeline_from_video(
-            frames, seed("hand_left.png"), seed("hand_right.png"),
-            seed("object.png"), ann.get("narration", ""),
-            ann.get("taxonomy3", [1, 0, 0]), args.out_dir,
-            dilate_factor=args.dilate, shard_name=args.shard_name,
-            shard_size=args.shard_size)
-        print(f"wrote {len(shards)} shard pair(s) to {args.out_dir}")
+        _run_seeded(args, frames)
         return
 
     data = load_sequences(args.frames_dir)

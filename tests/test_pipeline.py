@@ -1,5 +1,6 @@
 """2HANDS pipeline ops + end-to-end pack -> AffDataset roundtrip."""
 
+import os
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -244,3 +245,93 @@ def test_cli_video_acquisition_end_to_end(tmp_path):
     ds = AffDataset(str(out), samples_per_epoch=2, seed=0)
     s = ds.get(0)
     assert "cut onion" in s.question
+
+
+def test_epic_acquisition_file_url(tmp_path):
+    """download_video.bash analog: acquire_epic_video fetches the
+    per-video frames tar (file:// mirror here), extracts into
+    frames/<participant>/<video>/, removes the tar, and skips the
+    download when the directory already exists."""
+    import tarfile
+
+    import cv2
+
+    from haff_tpu.pipeline.acquire import (acquire_epic_video,
+                                           epic_frames_url)
+
+    # canonical URL construction (download_video.bash:9-12)
+    u55 = epic_frames_url("P01", "P01_01", split="train")
+    assert u55.endswith("frames_rgb_flow/rgb/train/P01/P01_01.tar")
+    u100 = epic_frames_url("P01", "P01_101", epic100=True)
+    assert u100.endswith("P01/rgb_frames/P01_101.tar")
+
+    # build a tiny frames tar and serve it via file://
+    src = tmp_path / "srv"
+    src.mkdir()
+    for i in range(3):
+        img = np.full((32, 48, 3), 10 * (i + 1), np.uint8)
+        cv2.imwrite(str(src / f"frame_{i:010d}.jpg"), img)
+    tar_p = src / "P07_03.tar"
+    with tarfile.open(tar_p, "w") as tf:
+        for i in range(3):
+            tf.add(str(src / f"frame_{i:010d}.jpg"),
+                   arcname=f"frame_{i:010d}.jpg")
+
+    data_dir = tmp_path / "EPIC_DATA"
+    frames_dir = acquire_epic_video(
+        str(data_dir), "P07", "P07_03", base_url=src.as_uri())
+    files = sorted(os.listdir(frames_dir))
+    assert files == [f"frame_{i:010d}.jpg" for i in range(3)]
+    assert not os.path.exists(
+        os.path.join(str(data_dir), "frames", "P07", "P07_03.tar"))
+
+    # second call: directory exists -> no download (dead URL is fine)
+    again = acquire_epic_video(str(data_dir), "P07", "P07_03",
+                               base_url="file:///nonexistent")
+    assert again == frames_dir
+
+
+def test_cli_epic_seeded_end_to_end(tmp_path):
+    """--epic with --seeds_dir: acquisition (file:// mirror) continues
+    into the seeded default pipeline and packs shards."""
+    import tarfile
+
+    import cv2
+
+    from haff_tpu.pipeline.cli import main
+
+    H, W = 64, 64
+    src = tmp_path / "srv"
+    src.mkdir()
+    for i in range(4):
+        img = np.full((H, W, 3), 40, np.uint8)
+        img[24:40, 24:40] = 220
+        img[28:36, 20:28] = 140
+        img[28:36, 36:44] = 160
+        cv2.imwrite(str(src / f"frame_{i:010d}.jpg"),
+                    cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+    with tarfile.open(src / "P07_04.tar", "w") as tf:
+        for i in range(4):
+            tf.add(str(src / f"frame_{i:010d}.jpg"),
+                   arcname=f"frame_{i:010d}.jpg")
+
+    seeds = tmp_path / "seeds"
+    seeds.mkdir()
+    for name, box in (("hand_left.png", (28, 36, 20, 28)),
+                      ("hand_right.png", (28, 36, 36, 44)),
+                      ("object.png", (24, 40, 24, 40))):
+        m = np.zeros((H, W), np.uint8)
+        y0, y1, x0, x1 = box
+        m[y0:y1, x0:x1] = 255
+        cv2.imwrite(str(seeds / name), m)
+    (seeds / "annotation.json").write_text(
+        '{"narration": "peel carrot", "taxonomy3": [0.0, 1.0, 0.0]}')
+
+    out = tmp_path / "out"
+    main(["--epic", "P07", "P07_04", "--data_dir",
+          str(tmp_path / "EPIC_DATA"), "--epic_base_url", src.as_uri(),
+          "--seeds_dir", str(seeds), "--out_dir", str(out),
+          "--shard_size", "16", "--dilate", "3"])
+    ds = AffDataset(str(out), samples_per_epoch=2, seed=0)
+    s = ds.get(0)
+    assert "peel carrot" in s.question
