@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import traverse_util
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 class QuantArray(NamedTuple):
@@ -128,8 +130,15 @@ def _unpack_int4(p: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
     return lo, hi
 
 
-def _w4a16_kernel(xa_ref, xb_ref, p_ref, sc_ref, o_ref, *, g2: int):
-    lo, hi = _unpack_int4(p_ref[...])           # (K2, bn) nibble planes
+def _w4a16_kernel(xa_ref, xb_ref, p_ref, sc_ref, o_ref, acc_ref, *,
+                  g2: int, nk: int):
+    ki = pl.program_id(2)
+
+    @pl.when(ki == 0)
+    def _init():
+        acc_ref[:] = jnp.zeros_like(acc_ref)
+
+    lo, hi = _unpack_int4(p_ref[...])           # (bk2, bn) nibble planes
     k2, bn = lo.shape
     ng = k2 // g2
     sc = sc_ref[...][:ng]                       # (ng, bn) f32 (sublane pad-8)
@@ -140,7 +149,11 @@ def _w4a16_kernel(xa_ref, xb_ref, p_ref, sc_ref, o_ref, *, g2: int):
                               preferred_element_type=jnp.float32)
     acc += jax.lax.dot_general(xb_ref[...], whi, (((1,), (0,)), ((), ())),
                                preferred_element_type=jnp.float32)
-    o_ref[...] = acc.astype(o_ref.dtype)
+    acc_ref[:] = acc_ref[:] + acc
+
+    @pl.when(ki == nk - 1)
+    def _finalize():
+        o_ref[...] = acc_ref[:].astype(o_ref.dtype)
 
 
 def pallas_int4_matmul(x: jnp.ndarray, packed: jnp.ndarray,
@@ -162,7 +175,13 @@ def pallas_int4_matmul(x: jnp.ndarray, packed: jnp.ndarray,
     happens on-chip: x splits even/odd K outside the kernel and the two
     halves hit the MXU as separate dots against the lo/hi nibble planes
     (rows 2r and 2r+1 share a group since group is even, so one expanded
-    scale tile serves both)."""
+    scale tile serves both).
+
+    K is tiled (innermost grid dim, f32 accumulator scratch): the
+    in-kernel int32 unpack intermediates are (bk2, bn) — untiled, 13B's
+    down_proj (K2=6912) needs ~14 MB of VMEM for lo+hi alone and blows
+    the 16 MB scoped-vmem limit (observed at prefill AND decode; the
+    intermediates are M-independent)."""
     from jax.experimental import pallas as pl
     from functools import partial
 
@@ -185,23 +204,48 @@ def pallas_int4_matmul(x: jnp.ndarray, packed: jnp.ndarray,
     if npad:
         packed = jnp.pad(packed, ((0, 0), (0, npad)))
         scale = jnp.pad(scale, ((0, 0), (0, npad)), constant_values=1.0)
-    gpad = (-ng) % 8                            # Mosaic sublane alignment
-    if gpad:
-        scale = jnp.pad(scale, ((0, gpad), (0, 0)), constant_values=1.0)
+    # K block: largest divisor of K2 that fits the per-step VMEM budget
+    # and keeps whole (8-sublane-aligned) scale-group blocks. Budget
+    # model per K element of a step: packed u8 double-buffered (2·bn) +
+    # int32 unpack intermediates (8·bn) + bf16 dequant planes (4·bn) +
+    # xa/xb bf16 double-buffered (8·bm); ~10 MB of the 16 MB scoped
+    # VMEM is left after the (bm, bn) accumulator/output. Bigger blocks
+    # matter at decode (fewer grid steps, measured 1.04 vs 2.2 ms at
+    # (8, 5120, 13824) for nk=1 vs nk=5); the cap keeps 13B's down_proj
+    # (K2=6912) from blowing scoped VMEM. Falls back to one K block
+    # with a padded scale tile when K2 is small or indivisible.
+    cap = int(10e6 // (14 * bn + 8 * bm))
+    cap -= cap % (8 * g2)
+    bk2 = 0
+    for cand in range(min(K2, max(cap, 8 * g2)), 0, -8 * g2):
+        if cand % (8 * g2) == 0 and K2 % cand == 0:
+            bk2 = cand
+            break
+    if bk2:
+        nk = K2 // bk2
+        ngb = bk2 // g2
+        sc = scale.astype(jnp.float32)
+    else:
+        nk = 1
+        bk2 = K2
+        ngb = ng + ((-ng) % 8)                  # Mosaic sublane alignment
+        sc = jnp.pad(scale, ((0, ngb - ng), (0, 0)),
+                     constant_values=1.0).astype(jnp.float32)
     Mp, Np = M + mp, N + npad
     out = pl.pallas_call(
-        partial(_w4a16_kernel, g2=g2),
-        grid=(Mp // bm, Np // bn),
+        partial(_w4a16_kernel, g2=g2, nk=nk),
+        grid=(Mp // bm, Np // bn, nk),
         in_specs=[
-            pl.BlockSpec((bm, K2), lambda i, j: (i, 0)),
-            pl.BlockSpec((bm, K2), lambda i, j: (i, 0)),
-            pl.BlockSpec((K2, bn), lambda i, j: (0, j)),
-            pl.BlockSpec((ng + gpad, bn), lambda i, j: (0, j)),
+            pl.BlockSpec((bm, bk2), lambda i, j, k: (i, k)),
+            pl.BlockSpec((bm, bk2), lambda i, j, k: (i, k)),
+            pl.BlockSpec((bk2, bn), lambda i, j, k: (k, j)),
+            pl.BlockSpec((ngb, bn), lambda i, j, k: (k, j)),
         ],
-        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j)),
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j, k: (i, j)),
         out_shape=jax.ShapeDtypeStruct((Mp, Np), dtype),
+        scratch_shapes=[pltpu.VMEM((bm, bn), jnp.float32)],
         interpret=interpret,
-    )(xa, xb, packed, scale.astype(jnp.float32))
+    )(xa, xb, packed, sc)
     return out[:M, :N]
 
 
@@ -209,12 +253,17 @@ def int4_matmul(x: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray,
                 group: int, dtype=None) -> jnp.ndarray:
     """W4A16 matmul on a packed-int4 kernel.
 
-    Default on tpu/axon is the fused Pallas kernel (packed weight HBM
-    traffic): measured 1.32 vs 5.63 ms at the 13B decode shape
-    (8, 5120, 13824) against the old XLA int32-unpack dequant, which
-    made 13B int4 serving decode-bound (0.295 fps e2e). HAFF_INT4_PALLAS
-    =0 forces the XLA path, =1 forces Pallas everywhere (interpret mode
-    off-TPU, used by tests).
+    Regime-split dispatch on tpu/axon: SMALL M (decode steps, verify
+    chunks — weight-streaming bound) takes the fused Pallas kernel
+    (packed weight HBM traffic): 0.95 vs 1.50 ms (XLA bitcast) vs
+    5.6 ms (old XLA int32-unpack dequant, which made 13B int4 serving
+    decode-bound at 0.295 fps e2e) at the 13B decode shape
+    (8, 5120, 13824), scalar-readback timing on v5e. LARGE M (prefill,
+    batched eval — MXU bound) takes the XLA path: 4.62 ms vs 5.06
+    Pallas vs 4.38 pure-bf16 floor at (2304, 5120, 13824); the Pallas
+    kernel re-reads and re-unpacks weights once per M tile, so its edge
+    inverts as M grows. HAFF_INT4_PALLAS=0 forces XLA everywhere, =1
+    forces Pallas everywhere (interpret mode off-TPU, used by tests).
 
     The XLA path is the bitcast-plane formulation: packed bytes bitcast
     to native s4 nibble planes (element 0 = even in-row, 1 = odd — no
@@ -227,7 +276,10 @@ def int4_matmul(x: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray,
     g2 = group // 2
     mode = os.environ.get("HAFF_INT4_PALLAS", "")
     eligible = group % 16 == 0 and K2 % g2 == 0
-    if eligible and (mode == "1" or (mode != "0" and jax.default_backend()
+    m_flat = int(np.prod(x.shape[:-1]))
+    small_m = m_flat <= 256
+    if eligible and (mode == "1" or (mode != "0" and small_m
+                                     and jax.default_backend()
                                      in ("tpu", "axon"))):
         lead = x.shape[:-1]
         y = pallas_int4_matmul(
