@@ -410,6 +410,26 @@ def test_pallas_int4_matmul_matches_xla_path(monkeypatch):
                                rtol=2e-2, atol=2e-2)
 
 
+def test_pallas_int4_matmul_k_tiled():
+    """K2 above the VMEM-budget block cap exercises the K-tiled grid
+    (innermost k dim + f32 accumulator scratch) — the untiled kernel
+    blew scoped VMEM at 13B's down_proj (K2=6912). K=4096/group=128
+    gives bk2=1024, nk=2 in interpret mode; exact vs explicit dequant."""
+    from haff_tpu.nn.quant import (dequantize_kernel_int4,
+                                   pallas_int4_matmul,
+                                   quantize_kernel_int4)
+
+    rng = np.random.RandomState(7)
+    w = jnp.asarray(rng.randn(4096, 384).astype(np.float32) * 0.02)
+    p, s = quantize_kernel_int4(w, group=128)
+    x = jnp.asarray(rng.randn(24, 4096).astype(np.float32))
+    out = pallas_int4_matmul(x, p, s, group=128, dtype=jnp.float32,
+                             interpret=True)
+    ref = x @ dequantize_kernel_int4(p, s, group=128, dtype=jnp.float32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
 def test_pallas_int4_qdense_in_tree(monkeypatch):
     """QDense routes a packed-int4 kernel through the fused Pallas path
     under the gate, with 3D (batch, seq, feat) inputs and bias."""
