@@ -418,9 +418,36 @@ def cmd_winvar(batch=24, n=10):
         )(qkv, qkv, qkv, bh, bw)
         return out
 
+    # ---- v6: v5 structure + Mosaic compiler params (parallel grid
+    # semantics + raised scoped-VMEM limit so bigger window groups
+    # compile). ----
+    from jax.experimental.pallas import tpu as pltpu
+
+    def run_v6(qkv, bh, bw, group):
+        bwp = qkv.shape[0]
+        HC = HH * D
+        HB = HH * kp
+        return pl.pallas_call(
+            k_v5,
+            grid=(bwp // group, 2),
+            in_specs=[
+                pl.BlockSpec((group, L, HC), lambda i, h: (i, 0, h)),
+                pl.BlockSpec((group, L, HC), lambda i, h: (i, 0, 2 + h)),
+                pl.BlockSpec((group, L, HC), lambda i, h: (i, 0, 4 + h)),
+                pl.BlockSpec((group, L, HB), lambda i, h: (i, 0, h)),
+                pl.BlockSpec((group, L, HB), lambda i, h: (i, 0, h)),
+            ],
+            out_specs=pl.BlockSpec((group, L, HC), lambda i, h: (i, 0, h)),
+            out_shape=jax.ShapeDtypeStruct((bwp, L, C), qkv.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+                vmem_limit_bytes=100 * 1024 * 1024),
+        )(qkv, qkv, qkv, bh, bw)
+
     variants = {"v0-inkslice": (run_v0, (1,)),
                 "v4-lane640": (run_v4, (2, 4, 8)),
-                "v5-dotbatch": (run_v5, (2, 4))}
+                "v5-dotbatch": (run_v5, (2, 4)),
+                "v6-params": (run_v6, (2, 4, 8))}
     if len(sys.argv) > 3:  # optional filter: winvar B name
         sel = sys.argv[3]
         variants = {k: v for k, v in variants.items() if sel in k}
@@ -455,6 +482,132 @@ def cmd_winvar(batch=24, n=10):
             except Exception as e:
                 print(f"{name:14s} G={g:<3d} FAILED {type(e).__name__} "
                       f"{str(e)[:140]}", flush=True)
+
+
+# --------------------------------------------------------------------------
+# attnpath — where does the production windowed-attention PATH spend time?
+# --------------------------------------------------------------------------
+
+def cmd_attnpath(batch=24, n=10):
+    """Decomposes the production sam_window_attention_qkv call:
+
+      add-qkv    chain overhead: one (BW, L, 3C) add per iteration
+      add-q4     chain overhead: one (BW, L, NH, D) add per iteration
+      full       the production path (band tables from the strided
+                 qkv[:, :, :C] slice + dot-batched kernel)
+      band-slice band tables ONLY, from the production strided slice
+      band-dense band tables ONLY, from a contiguous q operand (what a
+                 split q-dense / kv-dense layer assembly would feed)
+
+    Every chain perturbs its large operand with the carried scalar so
+    XLA cannot hoist any stage out of the fori_loop; subtract the add-*
+    overhead rows to get real stage costs.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from haff_tpu.kernels.sam_attention import (_natural_band_tables,
+                                                sam_window_attention_qkv)
+
+    WIN, C, NH, L, D, BW, kp, x, wqkv, rel_h, rel_w = _win_setup(batch)
+    qkv0 = x @ wqkv
+    q40 = qkv0[:, :, :C].reshape(BW, L, NH, D)
+    q40 = jax.device_put(np.asarray(q40))      # dense, not a lazy slice
+    scale = D ** -0.5
+
+    def chain(body):
+        @jax.jit
+        def run(big):
+            def step(i, carry):
+                s = body(big, carry)
+                return s * 1e-30
+            out = jax.lax.fori_loop(0, n, step, jnp.zeros((), jnp.float32))
+            return out
+        return run
+
+    def bench(name, run, big):
+        print(f"{name:11s} {timeit(run, big, n=n) * 1e3:8.3f} ms/layer",
+              flush=True)
+
+    def add_qkv(qkv, c):
+        # full-tensor reduce so XLA cannot dead-code the add; this row
+        # therefore measures add + reduce (the reduce also rides the
+        # consumers in the other rows).
+        return jnp.sum((qkv + c).astype(jnp.float32))
+
+    def add_q4(q4, c):
+        return jnp.sum((q4 + c).astype(jnp.float32))
+
+    def full(qkv, c):
+        o = sam_window_attention_qkv(qkv + c, rel_h, rel_w, (WIN, WIN),
+                                     NH, sm_scale=scale)
+        return jnp.sum(o.astype(jnp.float32))
+
+    def band_slice(qkv, c):
+        q4 = (qkv + c)[:, :, :C].reshape(BW, L, NH, D)
+        bh, bw = _natural_band_tables(q4, rel_h, rel_w, (WIN, WIN), kp)
+        return (jnp.sum(bh.astype(jnp.float32))
+                + jnp.sum(bw.astype(jnp.float32)))
+
+    def band_dense(q4, c):
+        bh, bw = _natural_band_tables(q4 + c, rel_h, rel_w, (WIN, WIN), kp)
+        return (jnp.sum(bh.astype(jnp.float32))
+                + jnp.sum(bw.astype(jnp.float32)))
+
+    # The production kernel (dot-batched, group 2) with (a) parameter
+    # band tables vs (b) tables computed in-graph: isolates whether the
+    # pallas call slows down when its operands are fusion outputs.
+    import functools as _ft
+
+    from jax.experimental import pallas as pl
+
+    from haff_tpu.kernels.sam_attention import _window_qkv_kernel_db
+
+    HH = NH // 2
+    HC, HB = HH * D, HH * kp
+    group = 2
+
+    def run_db(qkv, bh, bw):
+        bwp = qkv.shape[0]
+        return pl.pallas_call(
+            _ft.partial(_window_qkv_kernel_db, hh=HH, d=D, kp=kp,
+                        hw=(WIN, WIN), sm_scale=scale),
+            grid=(bwp // group, 2),
+            in_specs=[
+                pl.BlockSpec((group, L, HC), lambda i, h: (i, 0, h)),
+                pl.BlockSpec((group, L, HC), lambda i, h: (i, 0, 2 + h)),
+                pl.BlockSpec((group, L, HC), lambda i, h: (i, 0, 4 + h)),
+                pl.BlockSpec((group, L, HB), lambda i, h: (i, 0, h)),
+                pl.BlockSpec((group, L, HB), lambda i, h: (i, 0, h)),
+            ],
+            out_specs=pl.BlockSpec((group, L, HC), lambda i, h: (i, 0, h)),
+            out_shape=jax.ShapeDtypeStruct((bwp, L, NH * D), qkv.dtype),
+        )(qkv, qkv, qkv, bh, bw)
+
+    bh0, bw0 = jax.jit(
+        lambda q4: _natural_band_tables(q4, rel_h, rel_w, (WIN, WIN),
+                                        kp))(q40)
+    bh0, bw0 = jax.device_put(np.asarray(bh0)), jax.device_put(
+        np.asarray(bw0))
+
+    def kernel_param(qkv, c):
+        o = run_db(qkv + c, bh0, bw0)
+        return jnp.sum(o.astype(jnp.float32))
+
+    def kernel_fed(qkv, c):
+        q4 = (qkv + c)[:, :, :C].reshape(BW, L, NH, D)
+        bh, bw = _natural_band_tables(q4, rel_h, rel_w, (WIN, WIN), kp)
+        o = run_db(qkv + c, bh.astype(qkv.dtype).reshape(BW, L, NH * kp),
+                   bw.astype(qkv.dtype).reshape(BW, L, NH * kp))
+        return jnp.sum(o.astype(jnp.float32))
+
+    bench("add-qkv", chain(add_qkv), qkv0)
+    bench("add-q4", chain(add_q4), q40)
+    bench("full", chain(full), qkv0)
+    bench("band-slice", chain(band_slice), qkv0)
+    bench("band-dense", chain(band_dense), q40)
+    bench("kern-param", chain(kernel_param), qkv0)
+    bench("kern-fed", chain(kernel_fed), qkv0)
 
 
 # --------------------------------------------------------------------------
@@ -656,14 +809,14 @@ def cmd_w4a16(n=25):
 
 def main():
     cmds = {"winprof": cmd_winprof, "bandforms": cmd_bandforms,
-            "winvar": cmd_winvar, "int8mxu": cmd_int8mxu,
-            "w8a8": cmd_w8a8, "w4a16": cmd_w4a16}
+            "winvar": cmd_winvar, "attnpath": cmd_attnpath,
+            "int8mxu": cmd_int8mxu, "w8a8": cmd_w8a8, "w4a16": cmd_w4a16}
     if len(sys.argv) < 2 or sys.argv[1] not in cmds:
         print(__doc__)
         sys.exit(2)
     cmd, rest = sys.argv[1], sys.argv[2:]
     kwargs = {}
-    if cmd in ("winprof", "bandforms", "winvar") and rest \
+    if cmd in ("winprof", "bandforms", "winvar", "attnpath") and rest \
             and rest[0].isdigit():
         kwargs["batch"] = int(rest[0])
     if cmd == "int8mxu" and rest and rest[0].isdigit():
