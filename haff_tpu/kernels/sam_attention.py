@@ -361,13 +361,16 @@ _window_fused.defvjp(_window_fwd_rule, _window_bwd_rule)
 
 
 def _natural_band_tables(q_nat, rel_h, rel_w, hw: Tuple[int, int],
-                         kp: int):
+                         kp: int, mask_pad: bool = False):
     """Band tables in the qkv dense's NATURAL layout.
 
-    q_nat: (BW, L, nh, d) — no head transpose. Returns Bh/Bw as
-    (BW, L, nh*kp) with the key index padded 14 -> kp by zero columns
-    (zero-padded Rh/Rw columns are never selected by the in-kernel
-    one-hot expanders, so the padding is inert).
+    q_nat: (BW, L, nh, d) — no head transpose. L may exceed hw[0]*hw[1]
+    (tile-pad rows, see window_partition lpad): pad rows get row index
+    clipped to H-1 — their tables are garbage, but pad QUERIES are
+    dropped by the caller and pad KEYS are -inf-masked in the kernel.
+    Returns Bh/Bw as (BW, L, nh*kp) with the key index padded 14 -> kp
+    by zero columns (zero-padded Rh/Rw columns are never selected by the
+    in-kernel one-hot expanders, so the padding is inert).
 
     The einsum "bhwnc,hkc->bhwnk" keeps l-major output order — unlike
     the head-major "bhwnc,hkc->bnhwk" of _band_tables, XLA needs no
@@ -386,18 +389,37 @@ def _natural_band_tables(q_nat, rel_h, rel_w, hw: Tuple[int, int],
     # 5.85 for the h/w-batched spatial form and 5.08 for a fused-concat
     # variant; the tiny kp=16 output width bounds the MXU rate in every
     # formulation, so the layout is the whole difference.
-    rows = np.arange(l) // W
-    cols = np.arange(l) % W
+    rows = np.minimum(np.arange(l) // W, H - 1)
+    cols = np.minimum(np.arange(l) % W, W - 1)
     Bh = jnp.einsum("blnc,lkc->blnk", q_nat, Rh[rows],
                     preferred_element_type=jnp.float32)
     Bw = jnp.einsum("blnc,lkc->blnk", q_nat, Rw[cols],
                     preferred_element_type=jnp.float32)
+    if mask_pad:
+        # Tile-pad KEY masking for free: a pad key j (j >= H*W) has
+        # row(j) >= H, so its one-hot expander column selects a Bh
+        # column in [H, (l-1)//W] — which content keys (row < H) never
+        # select. Writing -1e30 there adds -inf to every query's logit
+        # against pad keys with ZERO in-kernel mask work.
+        rmax = (l - 1) // W
+        assert kp > rmax, (kp, rmax)
+        Bh = Bh.at[..., H:rmax + 1].set(-1e30)
     return (Bh.astype(q_nat.dtype).reshape(bw_, l, nh * kp),
             Bw.astype(q_nat.dtype).reshape(bw_, l, nh * kp))
 
 
+def _key_pad_mask(l, lcont):
+    """(l, l) fp32 additive mask: -inf on key columns >= lcont (the
+    tile-pad rows appended by window_partition's lpad). None when the
+    window has no pad rows."""
+    if lcont >= l:
+        return None
+    kcol = jax.lax.broadcasted_iota(jnp.int32, (l, l), 1)
+    return jnp.where(kcol < lcont, 0.0, -1e30).astype(jnp.float32)
+
+
 def _window_qkv_kernel(q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref, *,
-                       nh, d, kp, hw, sm_scale):
+                       nh, d, kp, hw, lcont, sm_scale):
     """Natural-layout windowed attention: one grid step processes a
     group of whole windows with ALL heads via an unrolled head loop on
     lane slices. q/k/v refs are (G, L, nh*d) lane-blocks of the SAME
@@ -414,6 +436,7 @@ def _window_qkv_kernel(q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref, *,
     ew = (rows % W == ridx).astype(q_ref.dtype)
     ehg = jnp.broadcast_to(eh[None], (g, l, kp))
     ewg = jnp.broadcast_to(ew[None], (g, l, kp))
+    kmask = _key_pad_mask(l, lcont)
     for h in range(nh):
         qh = q_ref[:, :, h * d:(h + 1) * d]
         kh = k_ref[:, :, h * d:(h + 1) * d]
@@ -425,6 +448,8 @@ def _window_qkv_kernel(q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref, *,
         ka = jnp.concatenate([kh, ehg, ewg], axis=2)
         s = jax.lax.dot_general(qa, ka, (((2,), (2,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32)
+        if kmask is not None:
+            s = s + kmask[None]
         m = jnp.max(s, axis=-1, keepdims=True)
         p = jnp.exp(s - m)
         # normalize on the (L, d) output, not the (L, L) tile: ~2.5x
@@ -437,7 +462,7 @@ def _window_qkv_kernel(q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref, *,
 
 
 def _window_qkv_kernel_db(q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref, *,
-                          hh, d, kp, hw, sm_scale):
+                          hh, d, kp, hw, lcont, sm_scale):
     """Dot-batched natural-layout windowed attention: the grid carries a
     head-half dim, and the hh heads of the step are stacked into the
     BATCH dim of ONE batched dot_general (hh*G dots per MXU issue), so
@@ -470,6 +495,9 @@ def _window_qkv_kernel_db(q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref, *,
     vv = jnp.concatenate(v_list, axis=0)              # (hh*G, L, d)
     s = jax.lax.dot_general(qa, ka, (((2,), (2,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)
+    kmask = _key_pad_mask(l, lcont)
+    if kmask is not None:
+        s = s + kmask[None]
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l_sum = jnp.sum(p, axis=-1, keepdims=True)
@@ -484,25 +512,37 @@ def _window_qkv_kernel_db(q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref, *,
 
 def _window_qkv_fwd(qkv, rel_h, rel_w, hw, nh, sm_scale, interpret):
     """qkv: (BW, L, 3*nh*d) natural dense output, feature order
-    [q | k | v] each head-major (nh, d). Returns (BW, L, nh*d)."""
+    [q | k | v] each head-major (nh, d). L may exceed hw[0]*hw[1]: the
+    extra rows are window_partition's tile-pad rows (lpad) — their key
+    columns are -inf-masked in-kernel and their output rows are garbage
+    the caller drops. Returns (BW, L, nh*d)."""
     wh, ww = hw
     bw_, l, f = qkv.shape
     c = f // 3
     d = c // nh
+    lcont = wh * ww
     # kp: key-index pad so the bh/bw lane dim (nh*kp) is 128-aligned.
     kp = 16
     while (nh * kp) % 128:
         kp += 16
     q_nat = qkv[:, :, :c].reshape(bw_, l, nh, d)
-    bh, bw = _natural_band_tables(q_nat, rel_h, rel_w, hw, kp)
+    # Pad keys are masked through the band table's -1e30 column when
+    # possible (zero kernel cost; also avoids a Mosaic vector-layout
+    # crash the in-kernel (L, L) iota mask triggers at L=200); the
+    # in-kernel kmask is the fallback for windows >= kp.
+    band_mask = l > lcont and kp > (l - 1) // ww
+    bh, bw = _natural_band_tables(q_nat, rel_h, rel_w, hw, kp,
+                                  mask_pad=band_mask)
+    kernel_lcont = l if band_mask else lcont
 
     import os
 
-    # Default G=2 measured best at batch 24 (grid 600 windows: deeper
-    # pipelining beats bigger blocks). HAFF_WINDOW_GROUP overrides for
-    # A/B at other batch shapes — at batch 1 the grid is only 25 windows
-    # and per-step operand size, not pipeline depth, may dominate.
-    group = 2 if jnp.dtype(qkv.dtype).itemsize <= 2 else 1
+    # Default G=8 with parallel grid semantics + a raised scoped-VMEM
+    # limit (tools/bench_kernels.py winvar: v6-params G=8 3.79 ms/layer
+    # vs the previous G=2 default 4.21 at batch 24 on v5e; G>2 without
+    # the compiler params fails Mosaic's default scoped-VMEM budget).
+    # HAFF_WINDOW_GROUP overrides for A/B at other batch shapes.
+    group = 8 if jnp.dtype(qkv.dtype).itemsize <= 2 else 4
     env_g = os.environ.get("HAFF_WINDOW_GROUP", "")
     if env_g.strip().isdigit():        # malformed values keep the default
         group = max(1, int(env_g))
@@ -530,7 +570,7 @@ def _window_qkv_fwd(qkv, rel_h, rel_w, hw, nh, sm_scale, interpret):
         hc, hb = hh * d, hh * kp
         out = pl.pallas_call(
             functools.partial(_window_qkv_kernel_db, hh=hh, d=d, kp=kp,
-                              hw=hw, sm_scale=sm_scale),
+                              hw=hw, lcont=kernel_lcont, sm_scale=sm_scale),
             grid=(bwp // group, 2),
             in_specs=[
                 pl.BlockSpec((group, l, hc), lambda i, h: (i, 0, h)),
@@ -542,13 +582,16 @@ def _window_qkv_fwd(qkv, rel_h, rel_w, hw, nh, sm_scale, interpret):
             out_specs=pl.BlockSpec((group, l, hc),
                                    lambda i, h: (i, 0, h)),
             out_shape=jax.ShapeDtypeStruct((bwp, l, c), qkv.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+                vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
         )(qkv, qkv, qkv, bh, bw)
         return out[:bw_] if pad else out
 
     out = pl.pallas_call(
         functools.partial(_window_qkv_kernel, nh=nh, d=d, kp=kp, hw=hw,
-                          sm_scale=sm_scale),
+                          lcont=kernel_lcont, sm_scale=sm_scale),
         grid=(bwp // group,),
         in_specs=[
             pl.BlockSpec((group, l, c), lambda i: (i, 0, 0)),
@@ -568,10 +611,14 @@ def _window_qkv_xla(qkv, rel_h, rel_w, hw, nh, sm_scale):
     bw_, l, f = qkv.shape
     c = f // 3
     d = c // nh
-    qkv5 = qkv.reshape(bw_, l, 3, nh, d)
+    lcont = hw[0] * hw[1]
+    qkv5 = qkv[:, :lcont].reshape(bw_, lcont, 3, nh, d)
     q, k, v = qkv5[:, :, 0], qkv5[:, :, 1], qkv5[:, :, 2]
     out = _window_xla(q, k, v, rel_h, rel_w, hw, sm_scale)
-    return out.reshape(bw_, l, c)
+    out = out.reshape(bw_, lcont, c)
+    if l > lcont:  # tile-pad rows: zero output (caller drops them)
+        out = jnp.pad(out, ((0, 0), (0, l - lcont), (0, 0)))
+    return out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
@@ -617,7 +664,9 @@ def sam_window_attention_qkv(qkv, rel_h, rel_w, hw: Tuple[int, int],
     d = c // num_heads
     if sm_scale is None:
         sm_scale = d ** -0.5
-    aligned = c % 128 == 0 and qkv.shape[1] == wh * ww
+    aligned = c % 128 == 0 and (
+        qkv.shape[1] == wh * ww                            # legacy exact-L
+        or (qkv.shape[1] > wh * ww and qkv.shape[1] % 8 == 0))  # lpad
     if force_xla or train_rel_pos or qkv.shape[0] == 0 or not aligned:
         return _window_qkv_xla(qkv, rel_h, rel_w, hw, num_heads, sm_scale)
     if interpret is None:

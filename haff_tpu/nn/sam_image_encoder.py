@@ -91,6 +91,41 @@ def window_unpartition(x: jnp.ndarray, window: int, pad_hw, hw):
     return x[:, :h, :w, :]
 
 
+def window_partition_l(x: jnp.ndarray, window: int):
+    """(B, H, W, C) -> (B*nW, lpad, C): window_partition with the token
+    dim flattened and TILE-PADDED to a multiple of 8 sublanes.
+
+    With lpad % 8 == 0 every downstream (BW, lpad, C) <-> (BW*lpad, C)
+    reshape is a layout bitcast, so the qkv projection can run as a 2D
+    row-major matmul whose output feeds the Pallas windowed-attention
+    kernel with NO relayout copy (XLA lays 3D dot outputs out {0,2,1}
+    while tpu_custom_call constrains {2,1,0}: a 903 MB copy per layer at
+    batch 24 before this change). Pad rows carry zeros here; the kernel
+    -inf-masks their key columns and the caller drops their outputs."""
+    b, h, w, c = x.shape
+    pad_h = (window - h % window) % window
+    pad_w = (window - w % window) % window
+    if pad_h or pad_w:
+        x = jnp.pad(x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)))
+    hp, wp = h + pad_h, w + pad_w
+    x = x.reshape(b, hp // window, window, wp // window, window, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(-1, window * window, c)
+    lw = window * window
+    lpad = -(-lw // 8) * 8
+    if lpad > lw:
+        x = jnp.pad(x, ((0, 0), (0, lpad - lw), (0, 0)))
+    return x, (hp, wp)
+
+
+def window_unpartition_l(x: jnp.ndarray, window: int, pad_hw, hw):
+    """Inverse of window_partition_l: (B*nW, lpad, C) -> (B, h, w, C),
+    dropping the tile-pad rows (the slice fuses into the unpartition
+    transpose — one relayout pass, same as the unpadded path)."""
+    return window_unpartition(
+        x[:, :window * window].reshape(-1, window, window, x.shape[-1]),
+        window, pad_hw, hw)
+
+
 class SamAttention(nn.Module):
     """Multi-head self-attention with optional decomposed rel-pos bias.
 
@@ -104,7 +139,39 @@ class SamAttention(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, unpartition=None):  # (B, H, W, C)
+    def __call__(self, x, unpartition=None):
+        # 3D input (BW, lpad, C): tile-padded window-partitioned tokens
+        # (window_partition_l). The qkv projection runs as one 2D
+        # row-major matmul — (BW*lpad, C) and (BW, lpad, 3C) views are
+        # bitcasts of each other because lpad % 8 == 0 — so the fused
+        # kernel consumes the dense output with zero relayout copies.
+        if x.ndim == 3:
+            bw_, lp, c = x.shape
+            head_dim = c // self.num_heads
+            scale = head_dim ** -0.5
+            qkv = QDense(3 * c, use_bias=True, dtype=self.dtype,
+                         param_dtype=self.param_dtype,
+                         name="qkv")(x.reshape(bw_ * lp, c))
+            qkv = qkv.reshape(bw_, lp, 3 * c)
+            rel_pos_h = self.param(
+                "rel_pos_h", nn.initializers.zeros,
+                (2 * self.input_hw[0] - 1, head_dim), self.param_dtype)
+            rel_pos_w = self.param(
+                "rel_pos_w", nn.initializers.zeros,
+                (2 * self.input_hw[1] - 1, head_dim), self.param_dtype)
+            from ..kernels.sam_attention import sam_window_attention_qkv
+
+            out = sam_window_attention_qkv(
+                qkv, rel_pos_h, rel_pos_w, self.input_hw, self.num_heads,
+                sm_scale=scale)
+            # Drop window+tile padding BEFORE the output projection:
+            # proj is rowwise; content rows are 64x64 = 4096 per image
+            # vs 5x5x200 = 5000 padded (+22% proj FLOPs avoided).
+            pad_hw, hw = unpartition
+            out = window_unpartition_l(out, self.input_hw[0], pad_hw, hw)
+            return QDense(c, dtype=self.dtype,
+                          param_dtype=self.param_dtype, name="proj")(out)
+
         b, h, w, c = x.shape
         head_dim = c // self.num_heads
         scale = head_dim ** -0.5
@@ -176,7 +243,19 @@ class SamBlock(nn.Module):
                          name="norm1")(x).astype(self.dtype)
         hw = x.shape[1:3]
         if self.window_size > 0:
-            x, pad_hw = window_partition(x, self.window_size)
+            import os
+
+            # Tile-padded 3D partition: enables the 2D qkv matmul +
+            # zero-copy Pallas handoff (see window_partition_l).
+            # Default OFF until the L=200 kernel store variant that
+            # dodges a Mosaic vector-layout crash is validated on chip
+            # (see /tmp trial notes; HAFF_WINDOW_LPAD=1 opts in).
+            use_lpad = (cfg.use_rel_pos
+                        and os.environ.get("HAFF_WINDOW_LPAD", "0") == "1")
+            if use_lpad:
+                x, pad_hw = window_partition_l(x, self.window_size)
+            else:
+                x, pad_hw = window_partition(x, self.window_size)
             attn_hw = (self.window_size, self.window_size)
         else:
             attn_hw = (cfg.grid_size, cfg.grid_size)

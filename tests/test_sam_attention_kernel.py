@@ -174,3 +174,77 @@ def test_window_qkv_kernel_dotbatch_structure(bw):
     np.testing.assert_allclose(
         np.asarray(ours, np.float32), np.asarray(ref, np.float32),
         rtol=0.05, atol=0.02)
+
+
+@pytest.mark.parametrize("wh,nh,d", [(14, 16, 80), (2, 2, 64)])
+def test_window_qkv_kernel_tile_pad_rows(wh, nh, d):
+    """window_partition_l appends tile-pad rows (L -> multiple of 8) so
+    the qkv dense can run as one 2D row-major matmul with a zero-copy
+    Pallas handoff; pad KEYS are masked through the band table's -1e30
+    pad-row columns (or the in-kernel kmask fallback) and content rows
+    must match the XLA path exactly."""
+    from haff_tpu.kernels.sam_attention import (
+        _window_qkv_xla, sam_window_attention_qkv)
+
+    rng = np.random.RandomState(5)
+    c = nh * d
+    ww = wh
+    lcont = wh * ww
+    lpad = -(-lcont // 8) * 8
+    assert lpad > lcont
+    bw = 5
+    qkv = jnp.asarray(
+        rng.randn(bw, lpad, 3 * c).astype(np.float32) * 0.3, jnp.bfloat16)
+    rel_h = jnp.asarray(rng.randn(2 * wh - 1, d).astype(np.float32) * 0.05)
+    rel_w = jnp.asarray(rng.randn(2 * ww - 1, d).astype(np.float32) * 0.05)
+    ours = sam_window_attention_qkv(qkv, rel_h, rel_w, (wh, ww), nh,
+                                    interpret=True)
+    ref = _window_qkv_xla(qkv, rel_h, rel_w, (wh, ww), nh, d ** -0.5)
+    assert ours.shape == (bw, lpad, c)
+    np.testing.assert_allclose(
+        np.asarray(ours[:, :lcont], np.float32),
+        np.asarray(ref[:, :lcont], np.float32), rtol=0.05, atol=0.02)
+
+
+def test_window_partition_l_roundtrip():
+    from haff_tpu.nn.sam_image_encoder import (window_partition_l,
+                                               window_unpartition_l)
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 10, 10, 6).astype(np.float32))
+    wins, pad_hw = window_partition_l(x, 3)
+    assert wins.shape[1] % 8 == 0 and wins.shape[1] >= 9
+    back = window_unpartition_l(wins, 3, pad_hw, (10, 10))
+    np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
+
+
+def test_sam_block_lpad_path_matches_xla(monkeypatch):
+    """SamBlock's windowed path (tile-padded 3D partition + 2D qkv dense
+    + fused kernel) must match the force_xla reference block output."""
+    monkeypatch.setenv("HAFF_WINDOW_LPAD", "1")
+    import haff_tpu.kernels.sam_attention as SA
+    from haff_tpu.core.config import SamEncoderConfig
+    from haff_tpu.nn.sam_image_encoder import SamBlock
+
+    cfg = SamEncoderConfig(
+        image_size=96, patch_size=16, embed_dim=128, depth=2, num_heads=2,
+        mlp_ratio=2.0, window_size=3, global_attn_indexes=(1,))
+    blk = SamBlock(cfg=cfg, window_size=3, dtype=jnp.float32)
+    x = jnp.asarray(
+        np.random.RandomState(1).randn(2, 6, 6, 128).astype(np.float32))
+    params = blk.init(jax.random.PRNGKey(0), x)
+    params = jax.tree.map(
+        lambda a: a + 0.05 * np.random.RandomState(2)
+        .randn(*a.shape).astype(a.dtype), params)
+    out_new = blk.apply(params, x)
+
+    orig = SA.sam_window_attention_qkv
+    SA.sam_window_attention_qkv = (
+        lambda qkv, rh, rw, hw, nh, sm_scale=None, **kw: orig(
+            qkv, rh, rw, hw, nh, sm_scale=sm_scale, force_xla=True))
+    try:
+        out_xla = blk.apply(params, x)
+    finally:
+        SA.sam_window_attention_qkv = orig
+    np.testing.assert_allclose(np.asarray(out_new), np.asarray(out_xla),
+                               rtol=1e-4, atol=1e-4)
