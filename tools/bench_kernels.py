@@ -79,6 +79,10 @@ def _win_setup(batch):
 
     WIN, C, NH = 14, 1280, 16
     L, D = WIN * WIN, C // NH
+    # Mirror the production gate: HAFF_WINDOW_LPAD=1 benches the
+    # tile-padded window token dim (196 -> 200) the lpad path uses.
+    if os.environ.get("HAFF_WINDOW_LPAD", "0") == "1":
+        L = -(-L // 8) * 8
     BW = batch * 25
     kp = 16
     while (NH * kp) % 128:
@@ -571,7 +575,7 @@ def cmd_attnpath(batch=24, n=10):
         bwp = qkv.shape[0]
         return pl.pallas_call(
             _ft.partial(_window_qkv_kernel_db, hh=HH, d=D, kp=kp,
-                        hw=(WIN, WIN), sm_scale=scale),
+                        hw=(WIN, WIN), lcont=L, sm_scale=scale),
             grid=(bwp // group, 2),
             in_specs=[
                 pl.BlockSpec((group, L, HC), lambda i, h: (i, 0, h)),
