@@ -247,11 +247,12 @@ class SamBlock(nn.Module):
 
             # Tile-padded 3D partition: enables the 2D qkv matmul +
             # zero-copy Pallas handoff (see window_partition_l).
-            # Default OFF until the L=200 kernel store variant that
-            # dodges a Mosaic vector-layout crash is validated on chip
-            # (see /tmp trial notes; HAFF_WINDOW_LPAD=1 opts in).
+            # Default ON: validated on chip (L=200 store variant passes
+            # the Mosaic AOT check + bit-parity vs the 196-row XLA path;
+            # headline bench 19.47 vs 18.02 fps at batch 24).
+            # HAFF_WINDOW_LPAD=0 opts out (legacy 4D partition).
             use_lpad = (cfg.use_rel_pos
-                        and os.environ.get("HAFF_WINDOW_LPAD", "0") == "1")
+                        and os.environ.get("HAFF_WINDOW_LPAD", "1") == "1")
             if use_lpad:
                 x, pad_hw = window_partition_l(x, self.window_size)
             else:

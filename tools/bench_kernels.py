@@ -79,9 +79,9 @@ def _win_setup(batch):
 
     WIN, C, NH = 14, 1280, 16
     L, D = WIN * WIN, C // NH
-    # Mirror the production gate: HAFF_WINDOW_LPAD=1 benches the
-    # tile-padded window token dim (196 -> 200) the lpad path uses.
-    if os.environ.get("HAFF_WINDOW_LPAD", "0") == "1":
+    # Mirror the production gate (default ON): HAFF_WINDOW_LPAD=0 benches
+    # the legacy exact-196 window token dim instead of the tile-padded 200.
+    if os.environ.get("HAFF_WINDOW_LPAD", "1") == "1":
         L = -(-L // 8) * 8
     BW = batch * 25
     kp = 16
