@@ -125,7 +125,9 @@ def main():
         return
     int8 = "--bf16" not in sys.argv  # int8 W8A8 encoder is the default
     fps = None
-    for batch in (24, 16, 8, 4, 2, 1):  # 24 measured best (13.1 vs 12.8)
+    # 32 measured best with the lpad window kernel (20.12 vs 19.47 @ 24,
+    # 19.42 @ 48; 32 frames x 25 windows = 800 = exact group-8 multiple).
+    for batch in (32, 24, 16, 8, 4, 2, 1):
         # The remote compile helper fails intermittently (opaque HTTP 500);
         # retry each batch size once before shrinking.
         for attempt in range(2):

@@ -408,6 +408,36 @@ def _natural_band_tables(q_nat, rel_h, rel_w, hw: Tuple[int, int],
             Bw.astype(q_nat.dtype).reshape(bw_, l, nh * kp))
 
 
+def _natural_band_tables_cat(q_nat, rel_h, rel_w, hw: Tuple[int, int],
+                             kp: int, mask_pad: bool = False):
+    """Combined band tables: ONE einsum over a concatenated (L, 2kp, d)
+    table instead of two passes over the 300 MB q operand (measured
+    5.26 -> 4.40 ms/layer at batch 24 on v5e, production lpad layout).
+
+    Returns (BW, L, nh*2kp) with per-head lane order [Bh(kp) | Bw(kp)]
+    — the order the kernels' K-side augmentation [k | eh | ew] expects,
+    so the per-head slice is one contiguous 2kp lane block."""
+    H, W = hw
+    bw_, l, nh, d = q_nat.shape
+    Rh = get_rel_pos(H, H, rel_h)                     # (H, H, d)
+    Rw = get_rel_pos(W, W, rel_w)                     # (W, W, d)
+    Rh = jnp.pad(Rh, ((0, 0), (0, kp - H), (0, 0))).astype(q_nat.dtype)
+    Rw = jnp.pad(Rw, ((0, 0), (0, kp - W), (0, 0))).astype(q_nat.dtype)
+    rows = np.minimum(np.arange(l) // W, H - 1)
+    cols = np.minimum(np.arange(l) % W, W - 1)
+    Rcat = jnp.concatenate([Rh[rows], Rw[cols]], axis=1)  # (L, 2kp, d)
+    B = jnp.einsum("blnc,lkc->blnk", q_nat, Rcat,
+                   preferred_element_type=jnp.float32)
+    if mask_pad:
+        # Tile-pad KEY masking for free (see _natural_band_tables): the
+        # Bh half occupies cat columns [0, kp), so the poisoned columns
+        # [H, rmax] stay inside the first half.
+        rmax = (l - 1) // W
+        assert kp > rmax, (kp, rmax)
+        B = B.at[..., H:rmax + 1].set(-1e30)
+    return B.astype(q_nat.dtype).reshape(bw_, l, nh * 2 * kp)
+
+
 def _key_pad_mask(l, lcont):
     """(l, l) fp32 additive mask: -inf on key columns >= lcont (the
     tile-pad rows appended by window_partition's lpad). None when the
@@ -418,14 +448,15 @@ def _key_pad_mask(l, lcont):
     return jnp.where(kcol < lcont, 0.0, -1e30).astype(jnp.float32)
 
 
-def _window_qkv_kernel(q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref, *,
+def _window_qkv_kernel(q_ref, k_ref, v_ref, b_ref, o_ref, *,
                        nh, d, kp, hw, lcont, sm_scale):
     """Natural-layout windowed attention: one grid step processes a
     group of whole windows with ALL heads via an unrolled head loop on
     lane slices. q/k/v refs are (G, L, nh*d) lane-blocks of the SAME
     qkv dense output (BlockSpec lane-block aliasing — no HBM transpose,
-    slice, or per-head relayout ever happens). bh/bw are (G, L, nh*kp)
-    natural-layout band tables. The one-hot key expanders are built
+    slice, or per-head relayout ever happens). b is the COMBINED
+    (G, L, nh*2kp) band table, per-head lane order [Bh | Bw]
+    (_natural_band_tables_cat). The one-hot key expanders are built
     in-kernel from iota (they are (L, kp) constants; as operands their
     lane dim would break Mosaic's 128-alignment rule)."""
     H, W = hw
@@ -441,10 +472,9 @@ def _window_qkv_kernel(q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref, *,
         qh = q_ref[:, :, h * d:(h + 1) * d]
         kh = k_ref[:, :, h * d:(h + 1) * d]
         vh = v_ref[:, :, h * d:(h + 1) * d]
-        bhh = bh_ref[:, :, h * kp:(h + 1) * kp]
-        bwh = bw_ref[:, :, h * kp:(h + 1) * kp]
+        bc = b_ref[:, :, h * 2 * kp:(h + 1) * 2 * kp]  # [Bh | Bw]
         qs = (qh.astype(jnp.float32) * sm_scale).astype(qh.dtype)
-        qa = jnp.concatenate([qs, bhh, bwh], axis=2)  # (G, L, d+2kp)
+        qa = jnp.concatenate([qs, bc], axis=2)        # (G, L, d+2kp)
         ka = jnp.concatenate([kh, ehg, ewg], axis=2)
         s = jax.lax.dot_general(qa, ka, (((2,), (2,)), ((0,), (0,))),
                                 preferred_element_type=jnp.float32)
@@ -461,7 +491,7 @@ def _window_qkv_kernel(q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref, *,
         o_ref[:, :, h * d:(h + 1) * d] = (o / l_sum).astype(o_ref.dtype)
 
 
-def _window_qkv_kernel_db(q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref, *,
+def _window_qkv_kernel_db(q_ref, k_ref, v_ref, b_ref, o_ref, *,
                           hh, d, kp, hw, lcont, sm_scale):
     """Dot-batched natural-layout windowed attention: the grid carries a
     head-half dim, and the hh heads of the step are stacked into the
@@ -470,8 +500,8 @@ def _window_qkv_kernel_db(q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref, *,
     issuing nh sequential (L, d+2kp) dots. Measured 6.45 vs 10.87
     ms/layer against the head-loop kernel at batch 24 on v5e
     (tools/bench_kernels.py winvar). Refs are (G, L, hh*d) lane blocks
-    of the SAME qkv dense output (no HBM relayout); bh/bw are
-    (G, L, hh*kp) band-table lane blocks."""
+    of the SAME qkv dense output (no HBM relayout); b is the COMBINED
+    (G, L, hh*2kp) band-table lane block, per-head [Bh | Bw]."""
     H, W = hw
     g, l, _ = q_ref.shape
     rows = jax.lax.broadcasted_iota(jnp.int32, (l, kp), 0)
@@ -483,10 +513,9 @@ def _window_qkv_kernel_db(q_ref, k_ref, v_ref, bh_ref, bw_ref, o_ref, *,
         qh = q_ref[:, :, h * d:(h + 1) * d]
         kh = k_ref[:, :, h * d:(h + 1) * d]
         v_list.append(v_ref[:, :, h * d:(h + 1) * d])
-        bhh = bh_ref[:, :, h * kp:(h + 1) * kp]
-        bwh = bw_ref[:, :, h * kp:(h + 1) * kp]
+        bc = b_ref[:, :, h * 2 * kp:(h + 1) * 2 * kp]  # [Bh | Bw]
         qs = (qh.astype(jnp.float32) * sm_scale).astype(qh.dtype)
-        qa_list.append(jnp.concatenate([qs, bhh, bwh], axis=2))
+        qa_list.append(jnp.concatenate([qs, bc], axis=2))
         ka_list.append(jnp.concatenate(
             [kh, jnp.broadcast_to(eh[None], (g, l, kp)),
              jnp.broadcast_to(ew[None], (g, l, kp))], axis=2))
@@ -525,13 +554,17 @@ def _window_qkv_fwd(qkv, rel_h, rel_w, hw, nh, sm_scale, interpret):
     kp = 16
     while (nh * kp) % 128:
         kp += 16
-    q_nat = qkv[:, :, :c].reshape(bw_, l, nh, d)
+    # Slice q through the flat 2D view: with lpad the qkv tensor IS a
+    # row-major 2D matmul output, and phrasing the slice on that view
+    # measured 4.40 vs 5.26 ms/layer for the band stage at batch 24
+    # (tools/bench_kernels.py + _band_exp A/B, v5e).
+    q_nat = qkv.reshape(bw_ * l, f)[:, :c].reshape(bw_, l, nh, d)
     # Pad keys are masked through the band table's -1e30 column when
     # possible (zero kernel cost; also avoids a Mosaic vector-layout
     # crash the in-kernel (L, L) iota mask triggers at L=200); the
     # in-kernel kmask is the fallback for windows >= kp.
     band_mask = l > lcont and kp > (l - 1) // ww
-    bh, bw = _natural_band_tables(q_nat, rel_h, rel_w, hw, kp,
+    bt = _natural_band_tables_cat(q_nat, rel_h, rel_w, hw, kp,
                                   mask_pad=band_mask)
     kernel_lcont = l if band_mask else lcont
 
@@ -555,8 +588,7 @@ def _window_qkv_fwd(qkv, rel_h, rel_w, hw, nh, sm_scale, interpret):
     pad = (-bw_) % group
     if pad:
         qkv = jnp.pad(qkv, ((0, pad), (0, 0), (0, 0)))
-        bh = jnp.pad(bh, ((0, pad), (0, 0), (0, 0)))
-        bw = jnp.pad(bw, ((0, pad), (0, 0), (0, 0)))
+        bt = jnp.pad(bt, ((0, pad), (0, 0), (0, 0)))
     bwp = bw_ + pad
 
     # Dot-batched structure (one giant batched dot across a head-half
@@ -567,7 +599,7 @@ def _window_qkv_fwd(qkv, rel_h, rel_w, hw, nh, sm_scale, interpret):
     db_ok = (nh % 2 == 0 and (hh * d) % 128 == 0
              and (hh * kp) % 128 == 0)
     if db_ok:
-        hc, hb = hh * d, hh * kp
+        hc, hb = hh * d, hh * 2 * kp
         out = pl.pallas_call(
             functools.partial(_window_qkv_kernel_db, hh=hh, d=d, kp=kp,
                               hw=hw, lcont=kernel_lcont, sm_scale=sm_scale),
@@ -577,7 +609,6 @@ def _window_qkv_fwd(qkv, rel_h, rel_w, hw, nh, sm_scale, interpret):
                 pl.BlockSpec((group, l, hc), lambda i, h: (i, 0, 2 + h)),
                 pl.BlockSpec((group, l, hc), lambda i, h: (i, 0, 4 + h)),
                 pl.BlockSpec((group, l, hb), lambda i, h: (i, 0, h)),
-                pl.BlockSpec((group, l, hb), lambda i, h: (i, 0, h)),
             ],
             out_specs=pl.BlockSpec((group, l, hc),
                                    lambda i, h: (i, 0, h)),
@@ -586,7 +617,7 @@ def _window_qkv_fwd(qkv, rel_h, rel_w, hw, nh, sm_scale, interpret):
                 dimension_semantics=("parallel", "parallel"),
                 vmem_limit_bytes=100 * 1024 * 1024),
             interpret=interpret,
-        )(qkv, qkv, qkv, bh, bw)
+        )(qkv, qkv, qkv, bt)
         return out[:bw_] if pad else out
 
     out = pl.pallas_call(
@@ -597,13 +628,12 @@ def _window_qkv_fwd(qkv, rel_h, rel_w, hw, nh, sm_scale, interpret):
             pl.BlockSpec((group, l, c), lambda i: (i, 0, 0)),
             pl.BlockSpec((group, l, c), lambda i: (i, 0, 1)),
             pl.BlockSpec((group, l, c), lambda i: (i, 0, 2)),
-            pl.BlockSpec((group, l, nh * kp), lambda i: (i, 0, 0)),
-            pl.BlockSpec((group, l, nh * kp), lambda i: (i, 0, 0)),
+            pl.BlockSpec((group, l, nh * 2 * kp), lambda i: (i, 0, 0)),
         ],
         out_specs=pl.BlockSpec((group, l, c), lambda i: (i, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((bwp, l, c), qkv.dtype),
         interpret=interpret,
-    )(qkv, qkv, qkv, bh, bw)
+    )(qkv, qkv, qkv, bt)
     return out[:bw_] if pad else out
 
 

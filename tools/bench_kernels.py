@@ -565,13 +565,14 @@ def cmd_attnpath(batch=24, n=10):
 
     from jax.experimental import pallas as pl
 
-    from haff_tpu.kernels.sam_attention import _window_qkv_kernel_db
+    from haff_tpu.kernels.sam_attention import (_natural_band_tables_cat,
+                                                _window_qkv_kernel_db)
 
     HH = NH // 2
-    HC, HB = HH * D, HH * kp
+    HC, HB = HH * D, HH * 2 * kp
     group = 2
 
-    def run_db(qkv, bh, bw):
+    def run_db(qkv, bt):
         bwp = qkv.shape[0]
         return pl.pallas_call(
             _ft.partial(_window_qkv_kernel_db, hh=HH, d=D, kp=kp,
@@ -582,27 +583,24 @@ def cmd_attnpath(batch=24, n=10):
                 pl.BlockSpec((group, L, HC), lambda i, h: (i, 0, 2 + h)),
                 pl.BlockSpec((group, L, HC), lambda i, h: (i, 0, 4 + h)),
                 pl.BlockSpec((group, L, HB), lambda i, h: (i, 0, h)),
-                pl.BlockSpec((group, L, HB), lambda i, h: (i, 0, h)),
             ],
             out_specs=pl.BlockSpec((group, L, HC), lambda i, h: (i, 0, h)),
             out_shape=jax.ShapeDtypeStruct((bwp, L, NH * D), qkv.dtype),
-        )(qkv, qkv, qkv, bh, bw)
+        )(qkv, qkv, qkv, bt)
 
-    bh0, bw0 = jax.jit(
-        lambda q4: _natural_band_tables(q4, rel_h, rel_w, (WIN, WIN),
-                                        kp))(q40)
-    bh0, bw0 = jax.device_put(np.asarray(bh0)), jax.device_put(
-        np.asarray(bw0))
+    bt0 = jax.jit(
+        lambda q4: _natural_band_tables_cat(q4, rel_h, rel_w, (WIN, WIN),
+                                            kp))(q40)
+    bt0 = jax.device_put(np.asarray(bt0))
 
     def kernel_param(qkv, c):
-        o = run_db(qkv + c, bh0, bw0)
+        o = run_db(qkv + c, bt0)
         return jnp.sum(o.astype(jnp.float32))
 
     def kernel_fed(qkv, c):
         q4 = (qkv + c)[:, :, :C].reshape(BW, L, NH, D)
-        bh, bw = _natural_band_tables(q4, rel_h, rel_w, (WIN, WIN), kp)
-        o = run_db(qkv + c, bh.astype(qkv.dtype).reshape(BW, L, NH * kp),
-                   bw.astype(qkv.dtype).reshape(BW, L, NH * kp))
+        bt = _natural_band_tables_cat(q4, rel_h, rel_w, (WIN, WIN), kp)
+        o = run_db(qkv + c, bt.astype(qkv.dtype))
         return jnp.sum(o.astype(jnp.float32))
 
     bench("add-qkv", chain(add_qkv), qkv0)
