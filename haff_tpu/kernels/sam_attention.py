@@ -637,6 +637,156 @@ def _window_qkv_fwd(qkv, rel_h, rel_w, hw, nh, sm_scale, interpret):
     return out[:bw_] if pad else out
 
 
+def _window_qkv_split_fwd(q3, kv3, rel_h, rel_w, hw, nh, sm_scale,
+                          interpret):
+    """Split-operand variant of _window_qkv_fwd: q3 (BW, L, C) and
+    kv3 (BW, L, 2C) are the outputs of a COLUMN-SPLIT qkv projection
+    (layers.QDense out_split=(C, 2C)). Same kernels, two-operand
+    BlockSpecs — still zero HBM relayouts. The point is the band-table
+    einsum: on the fused (BW, L, 3C) output it reads q as a strided
+    slice, which costs ~5x a contiguous operand (tools/bench_kernels.py
+    attnpath: band-slice 5.38 vs band-dense 1.12 ms/layer, batch 24,
+    v5e). Here q3 IS that contiguous operand."""
+    wh, ww = hw
+    bw_, l, c = q3.shape
+    d = c // nh
+    lcont = wh * ww
+    kp = 16
+    while (nh * kp) % 128:
+        kp += 16
+    q_nat = q3.reshape(bw_, l, nh, d)          # contiguous view — free
+    band_mask = l > lcont and kp > (l - 1) // ww
+    bt = _natural_band_tables_cat(q_nat, rel_h, rel_w, hw, kp,
+                                  mask_pad=band_mask)
+    kernel_lcont = l if band_mask else lcont
+
+    import os
+
+    group = 8 if jnp.dtype(q3.dtype).itemsize <= 2 else 4
+    env_g = os.environ.get("HAFF_WINDOW_GROUP", "")
+    if env_g.strip().isdigit():
+        group = max(1, int(env_g))
+    group = min(group, bw_)
+    pad = (-bw_) % group
+    if pad:
+        q3 = jnp.pad(q3, ((0, pad), (0, 0), (0, 0)))
+        kv3 = jnp.pad(kv3, ((0, pad), (0, 0), (0, 0)))
+        bt = jnp.pad(bt, ((0, pad), (0, 0), (0, 0)))
+    bwp = bw_ + pad
+
+    hh = nh // 2
+    db_ok = (nh % 2 == 0 and (hh * d) % 128 == 0
+             and (hh * kp) % 128 == 0)
+    if db_ok:
+        hc, hb = hh * d, hh * 2 * kp
+        out = pl.pallas_call(
+            functools.partial(_window_qkv_kernel_db, hh=hh, d=d, kp=kp,
+                              hw=hw, lcont=kernel_lcont, sm_scale=sm_scale),
+            grid=(bwp // group, 2),
+            in_specs=[
+                pl.BlockSpec((group, l, hc), lambda i, h: (i, 0, h)),
+                pl.BlockSpec((group, l, hc), lambda i, h: (i, 0, h)),
+                pl.BlockSpec((group, l, hc), lambda i, h: (i, 0, 2 + h)),
+                pl.BlockSpec((group, l, hb), lambda i, h: (i, 0, h)),
+            ],
+            out_specs=pl.BlockSpec((group, l, hc),
+                                   lambda i, h: (i, 0, h)),
+            out_shape=jax.ShapeDtypeStruct((bwp, l, c), q3.dtype),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "parallel"),
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(q3, kv3, kv3, bt)
+        return out[:bw_] if pad else out
+
+    out = pl.pallas_call(
+        functools.partial(_window_qkv_kernel, nh=nh, d=d, kp=kp, hw=hw,
+                          lcont=kernel_lcont, sm_scale=sm_scale),
+        grid=(bwp // group,),
+        in_specs=[
+            pl.BlockSpec((group, l, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((group, l, c), lambda i: (i, 0, 0)),
+            pl.BlockSpec((group, l, c), lambda i: (i, 0, 1)),
+            pl.BlockSpec((group, l, nh * 2 * kp), lambda i: (i, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((group, l, c), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((bwp, l, c), q3.dtype),
+        interpret=interpret,
+    )(q3, kv3, kv3, bt)
+    return out[:bw_] if pad else out
+
+
+def _window_qkv_split_xla(q3, kv3, rel_h, rel_w, hw, nh, sm_scale):
+    bw_, l, c = q3.shape
+    d = c // nh
+    lcont = hw[0] * hw[1]
+    q = q3[:, :lcont].reshape(bw_, lcont, nh, d)
+    kv5 = kv3[:, :lcont].reshape(bw_, lcont, 2, nh, d)
+    out = _window_xla(q, kv5[:, :, 0], kv5[:, :, 1], rel_h, rel_w, hw,
+                      sm_scale)
+    out = out.reshape(bw_, lcont, c)
+    if l > lcont:
+        out = jnp.pad(out, ((0, 0), (0, l - lcont), (0, 0)))
+    return out
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _window_qkv_split_fused(q3, kv3, rel_h, rel_w, hw, nh, sm_scale,
+                            interpret):
+    return _window_qkv_split_fwd(q3, kv3, rel_h, rel_w, hw, nh, sm_scale,
+                                 interpret)
+
+
+def _window_qkv_split_fwd_rule(q3, kv3, rel_h, rel_w, hw, nh, sm_scale,
+                               interpret):
+    out = _window_qkv_split_fwd(q3, kv3, rel_h, rel_w, hw, nh, sm_scale,
+                                interpret)
+    return out, (q3, kv3, rel_h, rel_w)
+
+
+def _window_qkv_split_bwd_rule(hw, nh, sm_scale, interpret, res, g):
+    """Backward via the XLA path's VJP (frozen-encoder recipe — matches
+    _window_qkv_bwd_rule)."""
+    q3, kv3, rel_h, rel_w = res
+    _, vjp = jax.vjp(
+        lambda a, b, rh, rw: _window_qkv_split_xla(a, b, rh, rw, hw, nh,
+                                                   sm_scale),
+        q3, kv3, rel_h, rel_w)
+    return vjp(g)
+
+
+_window_qkv_split_fused.defvjp(_window_qkv_split_fwd_rule,
+                               _window_qkv_split_bwd_rule)
+
+
+def sam_window_attention_qkv_split(q3, kv3, rel_h, rel_w,
+                                   hw: Tuple[int, int], num_heads: int,
+                                   sm_scale=None, force_xla: bool = False,
+                                   interpret=None,
+                                   train_rel_pos: bool = False):
+    """Windowed SAM attention over a COLUMN-SPLIT qkv projection:
+    q3 (BW, L, C) and kv3 (BW, L, 2C), both natural 2D-matmul outputs
+    (layers.QDense out_split). Equal values to
+    sam_window_attention_qkv(concat([q3, kv3], -1), ...) — the split
+    exists so the band-table einsum reads a contiguous q operand
+    instead of a strided slice of the fused dense output."""
+    wh, ww = hw
+    c = q3.shape[-1]
+    d = c // num_heads
+    if sm_scale is None:
+        sm_scale = d ** -0.5
+    aligned = c % 128 == 0 and (
+        q3.shape[1] == wh * ww
+        or (q3.shape[1] > wh * ww and q3.shape[1] % 8 == 0))
+    if force_xla or train_rel_pos or q3.shape[0] == 0 or not aligned:
+        return _window_qkv_split_xla(q3, kv3, rel_h, rel_w, hw, num_heads,
+                                     sm_scale)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _window_qkv_split_fused(q3, kv3, rel_h, rel_w, hw, num_heads,
+                                   sm_scale, interpret)
+
+
 def _window_qkv_xla(qkv, rel_h, rel_w, hw, nh, sm_scale):
     bw_, l, f = qkv.shape
     c = f // 3

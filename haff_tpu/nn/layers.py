@@ -31,7 +31,19 @@ class QDense(nn.Module):
     kernel_axes: Optional[tuple] = None  # logical partitioning names
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, out_split=None):
+        # out_split: optional tuple of output widths summing to features.
+        # Returns a TUPLE of outputs, each computed as an independent dot
+        # over the corresponding COLUMN slice of the same kernel (and of
+        # its scale/bias). Param tree and checkpoint layout are exactly
+        # those of the fused call; a column split leaves the K-reduction
+        # untouched, so each piece equals the matching columns of the
+        # fused output. Used by the SAM windowed-attention path to emit
+        # q and kv as separate CONTIGUOUS operands (the band-table
+        # einsum over a strided q slice of the fused (.., 3C) output
+        # costs ~5x a contiguous read; see kernels/sam_attention.py).
+        if out_split is not None:
+            assert sum(out_split) == self.features, (out_split, self.features)
         # Packed-int4 kernels change the param SHAPE ((in/2, out) uint8 +
         # 2D group scales), so they must be read around self.param's
         # shape validation. W4A16: per-layer dequant fuses into the dot's
@@ -51,13 +63,25 @@ class QDense(nn.Module):
                 if isinstance(scale, flax_meta.AxisMetadata):
                     scale = scale.unbox()
                 group = (2 * raw.shape[0]) // scale.shape[0]
-                y = int4_matmul(x.astype(self.dtype), raw, scale,
-                                group=group, dtype=self.dtype)
-                if self.use_bias:
-                    bias = self.param("bias", self.bias_init,
-                                      (self.features,), self.param_dtype)
-                    y = y + bias.astype(self.dtype)
-                return y
+                bias = (self.param("bias", self.bias_init,
+                                   (self.features,), self.param_dtype)
+                        if self.use_bias else None)
+
+                def int4_cols(lo, hi):
+                    y = int4_matmul(x.astype(self.dtype), raw[:, lo:hi],
+                                    scale[:, lo:hi], group=group,
+                                    dtype=self.dtype)
+                    if bias is not None:
+                        y = y + bias[lo:hi].astype(self.dtype)
+                    return y
+
+                if out_split is None:
+                    return int4_cols(0, self.features)
+                outs, off = [], 0
+                for w_ in out_split:
+                    outs.append(int4_cols(off, off + w_))
+                    off += w_
+                return tuple(outs)
         kernel_init = self.kernel_init
         if self.kernel_axes is not None:
             kernel_init = nn.with_logical_partitioning(
@@ -66,6 +90,17 @@ class QDense(nn.Module):
                             (x.shape[-1], self.features), self.param_dtype)
         bias = (self.param("bias", self.bias_init, (self.features,),
                            self.param_dtype) if self.use_bias else None)
+        if out_split is not None:
+            outs, off = [], 0
+            for w_ in out_split:
+                b_ = bias[off:off + w_] if bias is not None else None
+                outs.append(self._dot(x, kernel[:, off:off + w_], b_,
+                                      scale_cols=(off, off + w_)))
+                off += w_
+            return tuple(outs)
+        return self._dot(x, kernel, bias, scale_cols=None)
+
+    def _dot(self, x, kernel, bias, scale_cols):
         if (kernel.dtype == jnp.int8
                 and self.has_variable("params", "scale")):
             import os
@@ -73,6 +108,8 @@ class QDense(nn.Module):
             from .quant import int8_matmul, quantized_matmul
 
             scale = self.get_variable("params", "scale")
+            if scale_cols is not None:
+                scale = scale[..., scale_cols[0]:scale_cols[1]]
             # HAFF_W8_COMPUTE=bf16 selects W8A16 (int8 weights at rest,
             # cast-to-bf16 dot, no activation-quant pass) over the W8A8
             # default. A/B on the SAM-H encoder bench (v5e-1, batch 24):

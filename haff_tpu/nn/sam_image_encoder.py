@@ -146,24 +146,48 @@ class SamAttention(nn.Module):
         # bitcasts of each other because lpad % 8 == 0 — so the fused
         # kernel consumes the dense output with zero relayout copies.
         if x.ndim == 3:
+            import os
+
             bw_, lp, c = x.shape
             head_dim = c // self.num_heads
             scale = head_dim ** -0.5
-            qkv = QDense(3 * c, use_bias=True, dtype=self.dtype,
-                         param_dtype=self.param_dtype,
-                         name="qkv")(x.reshape(bw_ * lp, c))
-            qkv = qkv.reshape(bw_, lp, 3 * c)
             rel_pos_h = self.param(
                 "rel_pos_h", nn.initializers.zeros,
                 (2 * self.input_hw[0] - 1, head_dim), self.param_dtype)
             rel_pos_w = self.param(
                 "rel_pos_w", nn.initializers.zeros,
                 (2 * self.input_hw[1] - 1, head_dim), self.param_dtype)
-            from ..kernels.sam_attention import sam_window_attention_qkv
+            # HAFF_WINDOW_SPLIT=1: emit the qkv projection as TWO column-
+            # split dots (same "qkv" param) so the band-table einsum
+            # reads a CONTIGUOUS q operand instead of a strided slice of
+            # the fused (.., 3C) output (band-slice 5.38 vs band-dense
+            # 1.12 ms/layer at batch 24, tools/bench_kernels.py
+            # attnpath). Off by default until the on-chip A/B lands
+            # (the extra x read of the second dot is the unknown).
+            split = os.environ.get("HAFF_WINDOW_SPLIT", "0") == "1"
+            if split:
+                from ..kernels.sam_attention import (
+                    sam_window_attention_qkv_split,
+                )
 
-            out = sam_window_attention_qkv(
-                qkv, rel_pos_h, rel_pos_w, self.input_hw, self.num_heads,
-                sm_scale=scale)
+                q3, kv3 = QDense(3 * c, use_bias=True, dtype=self.dtype,
+                                 param_dtype=self.param_dtype,
+                                 name="qkv")(x.reshape(bw_ * lp, c),
+                                             out_split=(c, 2 * c))
+                out = sam_window_attention_qkv_split(
+                    q3.reshape(bw_, lp, c), kv3.reshape(bw_, lp, 2 * c),
+                    rel_pos_h, rel_pos_w, self.input_hw, self.num_heads,
+                    sm_scale=scale)
+            else:
+                from ..kernels.sam_attention import sam_window_attention_qkv
+
+                qkv = QDense(3 * c, use_bias=True, dtype=self.dtype,
+                             param_dtype=self.param_dtype,
+                             name="qkv")(x.reshape(bw_ * lp, c))
+                qkv = qkv.reshape(bw_, lp, 3 * c)
+                out = sam_window_attention_qkv(
+                    qkv, rel_pos_h, rel_pos_w, self.input_hw, self.num_heads,
+                    sm_scale=scale)
             # Drop window+tile padding BEFORE the output projection:
             # proj is rowwise; content rows are 64x64 = 4096 per image
             # vs 5x5x200 = 5000 padded (+22% proj FLOPs avoided).

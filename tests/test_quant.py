@@ -487,3 +487,48 @@ def test_quantized_serving_under_gspmd_mesh(bits):
     masks = np.asarray(res.pred_masks_left)
     assert masks.shape[0] == 2
     assert np.isfinite(masks).all()
+
+
+def test_qdense_out_split_matches_fused_columns():
+    """QDense(out_split=...) must return exactly the column slices of
+    the fused output — float, int8-in-tree (W8A8/W8A16) and packed-int4
+    kernels. The split feeds the SAM windowed-attention band-table path
+    with a contiguous q operand."""
+    from haff_tpu.nn.layers import QDense
+    from haff_tpu.nn.quant import quantize_dense_tree
+
+    rng = np.random.RandomState(5)
+    x = jnp.asarray(rng.randn(6, 128).astype(np.float32))
+    layer = QDense(96, dtype=jnp.float32)
+    params = layer.init(jax.random.PRNGKey(2), x)
+
+    def check(tree, **tol):
+        fused = layer.apply({"params": tree}, x)
+        a, b = layer.apply({"params": tree}, x, out_split=(32, 64))
+        assert a.shape == (6, 32) and b.shape == (6, 64)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(fused[:, :32]),
+                                   **tol)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(fused[:, 32:]),
+                                   **tol)
+
+    # float kernel: bit-identical (column split leaves K reduction alone)
+    check(params["params"], rtol=0, atol=0)
+    # int8 in-tree kernel (both W8A8 and W8A16 compute flavors)
+    q8 = quantize_dense_tree(params["params"], lambda k: True, bits=8)
+    assert q8["kernel"].dtype == jnp.int8
+    check(q8, rtol=1e-5, atol=1e-5)
+    import os
+    old = os.environ.get("HAFF_W8_COMPUTE")
+    os.environ["HAFF_W8_COMPUTE"] = "bf16"
+    try:
+        check(q8, rtol=1e-5, atol=1e-5)
+    finally:
+        if old is None:
+            os.environ.pop("HAFF_W8_COMPUTE", None)
+        else:
+            os.environ["HAFF_W8_COMPUTE"] = old
+    # packed-int4 kernel + 2D group scales
+    q4 = quantize_dense_tree(params["params"], lambda k: True,
+                             bits=4, group=64)
+    assert q4["kernel"].dtype == jnp.uint8
+    check(q4, rtol=1e-5, atol=1e-5)

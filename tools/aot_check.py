@@ -72,6 +72,21 @@ def graph_window_attn_l196(sh):
     return f, [_spec((600, 196, 3840), jnp.bfloat16, sh)]
 
 
+def graph_window_attn_split(sh):
+    import jax
+    import jax.numpy as jnp
+
+    from haff_tpu.kernels.sam_attention import sam_window_attention_qkv_split
+
+    rel = jnp.zeros((27, 80), jnp.float32)
+
+    def f(q3, kv3):
+        return sam_window_attention_qkv_split(q3, kv3, rel, rel, (14, 14), 16)
+
+    return f, [_spec((600, 200, 1280), jnp.bfloat16, sh),
+               _spec((600, 200, 2560), jnp.bfloat16, sh)]
+
+
 def graph_global_attn(sh):
     import jax
     import jax.numpy as jnp
@@ -131,6 +146,7 @@ def graph_int4_matmul(sh):
 GRAPHS = {
     "window_attn_l200": graph_window_attn_l200,
     "window_attn_l196": graph_window_attn_l196,
+    "window_attn_split": graph_window_attn_split,
     "global_attn": graph_global_attn,
     "flash_attn": graph_flash_attn,
     "int8_matmul": graph_int8_matmul,

@@ -603,6 +603,28 @@ def cmd_attnpath(batch=24, n=10):
         o = run_db(qkv + c, bt.astype(qkv.dtype))
         return jnp.sum(o.astype(jnp.float32))
 
+    # End-to-end matmul+attention A/B: fused (BW, L, 3C) qkv dense vs
+    # column-split q/kv denses feeding sam_window_attention_qkv_split
+    # (HAFF_WINDOW_SPLIT production candidate). Chains from x so the
+    # projection cost (one N=3840 dot vs two N=1280/2560 dots reading x
+    # twice) is inside the measurement.
+    from haff_tpu.kernels.sam_attention import sam_window_attention_qkv_split
+
+    def path_fused(x, c):
+        xc = (x + c).reshape(BW * L, C)
+        qkv = (xc @ wqkv).reshape(BW, L, 3 * C)
+        o = sam_window_attention_qkv(qkv, rel_h, rel_w, (WIN, WIN), NH,
+                                     sm_scale=scale)
+        return jnp.sum(o.astype(jnp.float32))
+
+    def path_split(x, c):
+        xc = (x + c).reshape(BW * L, C)
+        q3 = (xc @ wqkv[:, :C]).reshape(BW, L, C)
+        kv3 = (xc @ wqkv[:, C:]).reshape(BW, L, 2 * C)
+        o = sam_window_attention_qkv_split(q3, kv3, rel_h, rel_w,
+                                           (WIN, WIN), NH, sm_scale=scale)
+        return jnp.sum(o.astype(jnp.float32))
+
     bench("add-qkv", chain(add_qkv), qkv0)
     bench("add-q4", chain(add_q4), q40)
     bench("full", chain(full), qkv0)
@@ -610,6 +632,8 @@ def cmd_attnpath(batch=24, n=10):
     bench("band-dense", chain(band_dense), q40)
     bench("kern-param", chain(kernel_param), qkv0)
     bench("kern-fed", chain(kernel_fed), qkv0)
+    bench("path-fused", chain(path_fused), x)
+    bench("path-split", chain(path_split), x)
 
 
 # --------------------------------------------------------------------------
