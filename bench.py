@@ -92,7 +92,7 @@ def run(batch: int, iters: int = 10, int8: bool = False):
     return batch * iters / dt
 
 
-def _backend_ready(tries: int = 3, probe_timeout: int = 300,
+def _backend_ready(tries: int = 3, probe_timeout: int = 600,
                    code: str = None) -> bool:
     """Probe the accelerator in a killable subprocess.
 
