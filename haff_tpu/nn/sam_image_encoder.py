@@ -157,14 +157,16 @@ class SamAttention(nn.Module):
             rel_pos_w = self.param(
                 "rel_pos_w", nn.initializers.zeros,
                 (2 * self.input_hw[1] - 1, head_dim), self.param_dtype)
-            # HAFF_WINDOW_SPLIT=1: emit the qkv projection as TWO column-
-            # split dots (same "qkv" param) so the band-table einsum
-            # reads a CONTIGUOUS q operand instead of a strided slice of
-            # the fused (.., 3C) output (band-slice 5.38 vs band-dense
-            # 1.12 ms/layer at batch 24, tools/bench_kernels.py
-            # attnpath). Off by default until the on-chip A/B lands
-            # (the extra x read of the second dot is the unknown).
-            split = os.environ.get("HAFF_WINDOW_SPLIT", "0") == "1"
+            # HAFF_WINDOW_SPLIT (default 1): emit the qkv projection as
+            # TWO column-split dots (same "qkv" param) so the band-table
+            # einsum reads a CONTIGUOUS q operand instead of a strided
+            # slice of the fused (.., 3C) output (band-slice 5.38 vs
+            # band-dense 1.12 ms/layer at batch 24, tools/bench_kernels
+            # attnpath). Same-session headline A/B on v5e (int8 W8A8,
+            # batch 32): split 20.606 vs fused 20.175 fps — the split's
+            # extra activation-quant pass costs less than the strided
+            # band read. HAFF_WINDOW_SPLIT=0 restores the fused dot.
+            split = os.environ.get("HAFF_WINDOW_SPLIT", "1") == "1"
             if split:
                 from ..kernels.sam_attention import (
                     sam_window_attention_qkv_split,
