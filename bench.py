@@ -14,18 +14,81 @@ anchor used for vs_baseline is 10 frames/s for the same mask path
 reported timings, plus the dual decoder at ~3ms), stated here so the
 comparison is reproducible and auditable.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Driver contract: prints JSON lines {"metric", "value", "unit",
+"vs_baseline"}; the LAST line wins. Structured for a hard wall budget:
+  - a watchdog thread guarantees a parseable line and process exit by
+    HAFF_BENCH_DEADLINE_SECS (default 460s) even if the device claim or
+    a compile hangs (the axon tunnel has been observed to wedge);
+  - the JAX persistent compilation cache (.jax_cache/) makes repeat
+    runs skip the ViT-H compiles;
+  - the first successful batch measurement is printed immediately and
+    then overwritten by better numbers — partial success beats silence.
 """
 
 import json
+import os
 import sys
+import threading
 import time
 
-import jax
-import jax.numpy as jnp
-import numpy as np
-
+START = time.monotonic()
+DEADLINE = float(os.environ.get("HAFF_BENCH_DEADLINE_SECS", "460"))
+METRIC = "affordance_mask_frames_per_sec_chip"
 A100_BASELINE_FPS = 10.0
+
+# Persistent compile cache: repeat driver runs must not pay the ViT-H
+# compile again (VERDICT r2 item 1). Set via env BEFORE importing jax so
+# the backend picks it up regardless of init order.
+os.environ.setdefault(
+    "JAX_COMPILATION_CACHE_DIR",
+    os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import numpy as np  # noqa: E402
+
+_best_lock = threading.Lock()
+_best_fps = None  # None = nothing measured yet
+
+
+def _emit(fps: float) -> None:
+    print(json.dumps(dict(
+        metric=METRIC,
+        value=round(fps, 3),
+        unit="frames/s",
+        vs_baseline=round(fps / A100_BASELINE_FPS, 3))), flush=True)
+
+
+def _record(fps: float) -> None:
+    global _best_fps
+    with _best_lock:
+        if _best_fps is None or fps > _best_fps:
+            _best_fps = fps
+            _emit(fps)
+
+
+def _remaining() -> float:
+    return DEADLINE - (time.monotonic() - START)
+
+
+def _watchdog() -> None:
+    """Guarantee a parseable line + exit by the deadline.
+
+    The device claim and first compile are unbounded under a wedged
+    tunnel; this thread is the only exit path in that case.
+    """
+    while True:
+        left = _remaining()
+        if left <= 0:
+            break
+        time.sleep(min(left, 5.0))
+    with _best_lock:
+        if _best_fps is None:
+            _emit(0.0)
+    sys.stdout.flush()
+    sys.stderr.flush()
+    os._exit(0)
 
 
 def build(batch: int, int8: bool = False):
@@ -92,77 +155,50 @@ def run(batch: int, iters: int = 10, int8: bool = False):
     return batch * iters / dt
 
 
-def _backend_ready(tries: int = 3, probe_timeout: int = 600,
-                   code: str = None) -> bool:
-    """Probe the accelerator in a killable subprocess.
-
-    A wedged tunnel makes backend init HANG (not raise), which under the
-    driver would stall the whole bench run indefinitely. Bound it: a few
-    subprocess probes (each killed after probe_timeout) before giving up.
-    """
-    import subprocess
-    if code is None:
-        code = ("import jax, jax.numpy as jnp; "
-                "assert float(jnp.ones((8,128)).sum()) == 1024.0; "
-                "print('ok')")
-    for i in range(tries):
-        try:
-            p = subprocess.run([sys.executable, "-c", code],
-                               capture_output=True, text=True,
-                               timeout=probe_timeout)
-            if p.returncode == 0 and "ok" in p.stdout:
-                return True
-        except subprocess.TimeoutExpired:
-            pass
-        print(f"# backend probe {i + 1}/{tries} failed", file=sys.stderr)
-    return False
-
-
 def main():
-    if not _backend_ready():
-        print(json.dumps(dict(metric="affordance_mask_frames_per_sec_chip",
-                              value=0.0, unit="frames/s", vs_baseline=0.0)))
-        return
+    threading.Thread(target=_watchdog, daemon=True).start()
     int8 = "--bf16" not in sys.argv  # int8 W8A8 encoder is the default
-    fps = None
+    # Claim the device ONCE, in-process; the watchdog bounds a hang.
+    t0 = time.monotonic()
+    try:
+        assert float(jnp.ones((8, 128)).sum()) == 1024.0
+    except Exception as e:
+        print(f"# backend claim failed: {type(e).__name__}: {str(e)[:200]}",
+              file=sys.stderr, flush=True)
+        _emit(0.0)
+        return
+    print(f"# backend ready in {time.monotonic() - t0:.1f}s "
+          f"({_remaining():.0f}s left)", file=sys.stderr, flush=True)
+    # Small batch first: cheapest compile -> a number on the board ASAP.
     # 32 measured best with the lpad window kernel (20.12 vs 19.47 @ 24,
     # 19.42 @ 48; 32 frames x 25 windows = 800 = exact group-8 multiple).
-    for batch in (32, 24, 16, 8, 4, 2, 1):
-        # The remote compile helper fails intermittently (opaque HTTP 500);
-        # retry each batch size once before shrinking.
+    plan = [(8, 6), (32, 10), (24, 10)]
+    for batch, iters in plan:
+        if _best_fps is not None and _remaining() < 120:
+            break  # not enough budget for another compile+measure
+        # The remote compile helper fails intermittently (opaque HTTP
+        # 500); retry each batch size once.
         for attempt in range(2):
             try:
-                fps = run(batch, int8=int8)
+                t0 = time.monotonic()
+                fps = run(batch, iters=iters, int8=int8)
+                print(f"# batch {batch}: {fps:.2f} fps "
+                      f"({time.monotonic() - t0:.0f}s incl compile, "
+                      f"{_remaining():.0f}s left)",
+                      file=sys.stderr, flush=True)
+                _record(fps)
                 break
-            except Exception as e:  # flaky compile / OOM -> retry, shrink
+            except Exception as e:
                 print(f"# batch {batch} attempt {attempt} failed: "
                       f"{type(e).__name__}: {str(e)[:200]}",
-                      file=sys.stderr)
-                fps = None
-                msg = str(e)
-                # bail ONLY on backend-init failure (dead tunnel/device);
-                # transient compile errors also carry UNAVAILABLE and
-                # must keep the retry/shrink path
-                if "Unable to initialize backend" in msg:
-                    # dead accelerator/tunnel: each retry waits out the
-                    # full claim timeout (~25 min observed) — bail with
-                    # the failure JSON instead of burning hours.
-                    print(json.dumps(dict(
-                        metric="affordance_mask_frames_per_sec_chip",
-                        value=0.0, unit="frames/s", vs_baseline=0.0)))
+                      file=sys.stderr, flush=True)
+                if "Unable to initialize backend" in str(e):
+                    # dead accelerator mid-run: emit what we have
+                    if _best_fps is None:
+                        _emit(0.0)
                     return
-        if fps is not None:
-            break
-    if fps is None:
-        print(json.dumps(dict(metric="affordance_mask_frames_per_sec_chip",
-                              value=0.0, unit="frames/s",
-                              vs_baseline=0.0)))
-        return
-    print(json.dumps(dict(
-        metric="affordance_mask_frames_per_sec_chip",
-        value=round(fps, 3),
-        unit="frames/s",
-        vs_baseline=round(fps / A100_BASELINE_FPS, 3))))
+    if _best_fps is None:
+        _emit(0.0)
 
 
 if __name__ == "__main__":

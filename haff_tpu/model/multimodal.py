@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import NamedTuple, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 
 from ..core.config import IGNORE_INDEX, IMAGE_TOKEN_INDEX
@@ -59,21 +60,32 @@ def splice_image_embeddings(
     # token index feeding slot j (for before/after regions)
     tok_idx = jnp.where(before, j, j - (p - 1))
     tok_idx = jnp.clip(tok_idx, 0, l - 1)
-    img_idx = jnp.clip(j - pos, 0, p - 1)
 
-    # The two differentiable gathers run as one-hot contractions: a
-    # take_along_axis backward is a scatter-add, which GSPMD shards by
-    # involuntary full rematerialization (replicate + repartition the
-    # whole embedding grad across the mesh); the einsum's backward is
-    # another einsum (MXU work, ~0.05% of the LLM forward FLOPs), and
-    # single-nonzero selector rows make it exact. Integer gathers
-    # (ids/labels/mask) keep take_along_axis — no gradient flows there.
-    sel_tok = ((tok_idx[..., None] == jnp.arange(l)[None, None, :])
-               & ~in_image[..., None]).astype(token_embeds.dtype)
-    sel_img = ((img_idx[..., None] == jnp.arange(p)[None, None, :])
-               & in_image[..., None]).astype(image_features.dtype)
-    embeds = (jnp.einsum("bjl,ble->bje", sel_tok, token_embeds)
-              + jnp.einsum("bjp,bpe->bje", sel_img, image_features))
+    # The differentiable splice is built from static pads + masks + one
+    # per-row roll — NO gather/scatter/one-hot-matmul on the embedding:
+    #   * slots before the image read tok[j]       -> end-pad to L_out
+    #   * slots after the image read tok[j-(p-1)]  -> front-pad by p-1
+    #   * the image block is placed by rolling a zero-padded canvas by
+    #     image_pos along the SEQUENCE axis (unsharded on every LISA
+    #     mesh), so both the roll and its backward (roll by -pos) stay
+    #     local to each batch shard.
+    # Earlier formulations — take_along_axis (scatter-add backward) and
+    # one-hot einsums (bjl,ble->bje) — both made GSPMD fall back to
+    # "involuntary full rematerialization" of the embedding (grad) on a
+    # (data x tensor) mesh; this one compiles clean (MULTICHIP_r03).
+    # Integer gathers (ids/labels/mask) keep take_along_axis — no
+    # gradient flows there.
+    dt = token_embeds.dtype
+    after = ~before & ~in_image
+    tok_end = jnp.pad(token_embeds, ((0, 0), (0, p - 1), (0, 0)))
+    tok_front = jnp.pad(token_embeds, ((0, 0), (p - 1, 0), (0, 0)))
+    img_canvas = jnp.pad(
+        image_features.astype(dt), ((0, 0), (0, l_out - p), (0, 0)))
+    img_rolled = jax.vmap(
+        lambda x, s: jnp.roll(x, s, axis=0))(img_canvas, image_pos)
+    embeds = (tok_end * before[..., None].astype(dt)
+              + tok_front * after[..., None].astype(dt)
+              + img_rolled * in_image[..., None].astype(dt))
 
     gathered_ids = jnp.take_along_axis(input_ids, tok_idx, axis=1)
 

@@ -49,6 +49,31 @@ def _dense(features, name, kernel_axes, dtype, param_dtype, use_bias=False):
         kernel_axes=kernel_axes, name=name)
 
 
+import functools
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(0, 1))
+def _embed_lookup(vocab, table_dtype, table, ids):
+    return jnp.take(table, ids, axis=0)
+
+
+def _embed_lookup_fwd(vocab, table_dtype, table, ids):
+    return jnp.take(table, ids, axis=0), ids
+
+
+def _embed_lookup_bwd(vocab, table_dtype, ids, ctg):
+    import numpy as _np
+    from jax import dtypes as _dtypes
+    onehot = jax.nn.one_hot(ids, vocab, dtype=ctg.dtype)
+    g = jnp.einsum("...v,...e->ve", onehot, ctg,
+                   preferred_element_type=jnp.float32)
+    return (g.astype(table_dtype),
+            _np.zeros(ids.shape, dtype=_dtypes.float0))
+
+
+_embed_lookup.defvjp(_embed_lookup_fwd, _embed_lookup_bwd)
+
+
 class RMSNorm(nn.Module):
     eps: float = 1e-6
     param_dtype: jnp.dtype = jnp.float32
@@ -384,7 +409,17 @@ class LlamaForCausalLM(nn.Module):
                               (EMBED, VOCAB), self.dtype, self.param_dtype)
 
     def embed(self, input_ids):
-        return self.embed_tokens(input_ids)
+        # Forward is the plain row gather (bit-identical to nn.Embed);
+        # the backward is a one-hot einsum so the table gradient is a
+        # dot GSPMD can partition (local partials + reduce-scatter onto
+        # the (vocab=tensor, embed=fsdp) table sharding). The scatter-add
+        # backward of jnp.take forced "involuntary full
+        # rematerialization" of the batch-sharded cotangent on a
+        # (data, fsdp, tensor) mesh (MULTICHIP_r02 tail).
+        table = self.embed_tokens.embedding
+        return _embed_lookup(
+            table.shape[0], jnp.dtype(table.dtype).name, table,
+            input_ids).astype(self.dtype)
 
     def __call__(self, inputs_embeds, positions, segment_ids=None,
                  kv_caches=None, cache_index=None,
