@@ -142,16 +142,14 @@ class AutomaticMaskGenerator:
 def from_predictor(predictor, hand: str = "left",
                    **kwargs) -> AutomaticMaskGenerator:
     """Build an AMG over infer/sam_predictor.SamPredictor (set_image
-    first). All grid points share the cached image embedding."""
+    first). All grid points share the cached image embedding, and each
+    AMG batch is ONE jitted decode (SamPredictor.predict_batch — the
+    reference's points_per_batch batching)."""
 
     def decode_batch(points):
-        masks_list, iou_list = [], []
-        for p in points:  # predictor API is per-prompt; embedding cached
-            logits, ious, _ = predictor.predict(
-                point_coords=p[None], point_labels=np.array([1]),
-                multimask_output=True, return_logits=True, hand=hand)
-            masks_list.append(np.asarray(logits, np.float32))
-            iou_list.append(ious)
-        return np.stack(masks_list), np.stack(iou_list)
+        logits, ious, _ = predictor.predict_batch(
+            np.asarray(points, np.float32)[:, None, :],
+            multimask_output=True, return_logits=True, hand=hand)
+        return np.asarray(logits, np.float32), np.asarray(ious)
 
     return AutomaticMaskGenerator(decode_batch, **kwargs)

@@ -16,6 +16,7 @@ import numpy as np
 class SamPredictor:
     def __init__(self, sam_module, params, image_size: int = 1024):
         import jax
+        import jax.numpy as jnp
 
         self.model = sam_module
         self.params = params
@@ -47,6 +48,18 @@ class SamPredictor:
             return self.model.apply(p, method=fn)
 
         self._decode = jax.jit(_decode, static_argnums=6)
+
+        def _decode_batch(p, emb, points, labels, multimask):
+            # N prompts against ONE cached embedding: broadcast the
+            # embedding to the prompt batch inside jit (the reference
+            # decoder repeat_interleaves per prompt token the same way,
+            # mask_decoder.py predict_masks) so the whole point grid is
+            # one compiled decode instead of a host loop.
+            emb_t = jnp.broadcast_to(
+                emb, (points.shape[0],) + emb.shape[1:])
+            return _decode(p, emb_t, points, labels, None, None, multimask)
+
+        self._decode_batch = jax.jit(_decode_batch, static_argnums=4)
 
     def set_image(self, image: np.ndarray) -> None:
         """image: (H, W, 3) uint8 RGB."""
@@ -110,3 +123,48 @@ class SamPredictor:
         return (out_masks,
                 np.asarray(iou)[0],
                 None if taxonomy is None else np.asarray(taxonomy)[0])
+
+    def predict_batch(self, point_coords: np.ndarray,
+                      point_labels: Optional[np.ndarray] = None,
+                      multimask_output: bool = True,
+                      return_logits: bool = False,
+                      hand: str = "left"
+                      ) -> Tuple[np.ndarray, np.ndarray,
+                                 Optional[np.ndarray]]:
+        """N point prompts in ONE jitted decode against the cached
+        embedding (the reference AMG's points_per_batch batching,
+        automatic_mask_generator.py:24-372 -> predictor.predict_torch).
+
+        point_coords: (N, P, 2) original-pixel coords; point_labels
+        (N, P) int (default all-foreground). Returns (masks
+        (N, n_out, H, W), iou (N, n_out), taxonomy (N, 4) or None)."""
+        import jax.numpy as jnp
+
+        from ..nn.sam import postprocess_masks_padded, resize_to_original
+
+        assert self._embedding is not None, "call set_image first"
+        pts = np.asarray(point_coords, np.float32)
+        if pts.ndim == 2:
+            pts = pts[:, None, :]
+        n, p, _ = pts.shape
+        if point_labels is None:
+            point_labels = np.ones((n, p), np.int32)
+        points = jnp.asarray(self._transform_coords(pts))
+        labels = jnp.asarray(np.asarray(point_labels, np.int32))
+        out_l, out_r = self._decode_batch(
+            self.params, self._embedding, points, labels,
+            bool(multimask_output))
+        if hand == "left":
+            masks, iou, taxonomy = out_l
+        else:
+            (masks, iou), taxonomy = out_r, None
+        canvas = np.asarray(postprocess_masks_padded(
+            jnp.asarray(masks, jnp.float32), self.image_size))
+        n_out = canvas.shape[1]
+        flat = resize_to_original(
+            canvas.reshape(n * n_out, *canvas.shape[2:]),
+            self._input_hw, self._orig_hw)
+        orig = flat.reshape(n, n_out, *flat.shape[1:])
+        out_masks = orig if return_logits else (orig > 0)
+        return (out_masks, np.asarray(iou),
+                None if taxonomy is None else np.asarray(taxonomy))
