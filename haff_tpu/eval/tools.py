@@ -223,3 +223,178 @@ def rename_frames_7digit(vid_dir: str) -> int:
             os.rename(src, dst)
             n += 1
     return n
+
+
+# ---------------------------------------------------------------------------
+# Benchmark assembly (reference configure_bench.py:30-243 — the steps
+# that build the <vid>/<frame>/ benchmark layout from raw folders)
+# ---------------------------------------------------------------------------
+
+def insert_inpainting_frames(frame_dir: str, source_dir: str) -> int:
+    """Copy '<id>.png' from a flat source dir into the matching
+    '<frame_dir>/<id>/inpainting.png', reversing the color channels
+    exactly like the reference (configure_bench.py add_inpainting:30-62
+    reads BGR then does img[:, :, ::-1] before writing). Returns the
+    number of frames inserted."""
+    import cv2
+
+    n = 0
+    for fname in sorted(os.listdir(source_dir)):
+        if not fname.endswith(".png"):
+            continue
+        base = fname.split(".")[0]
+        fdir = os.path.join(frame_dir, base)
+        if not os.path.isdir(fdir):
+            continue
+        img = cv2.imread(os.path.join(source_dir, fname))
+        if img is None:
+            continue
+        cv2.imwrite(os.path.join(fdir, "inpainting.png"), img[:, :, ::-1])
+        n += 1
+    return n
+
+
+def copy_annotations(frame_dir: str, annotation_dir: str) -> int:
+    """Copy '<annotation_dir>/<id>/annotation.json' into the matching
+    frame folder (configure_bench.py add_annotations:129-155)."""
+    import shutil
+
+    n = 0
+    for folder in sorted(os.listdir(annotation_dir)):
+        src = os.path.join(annotation_dir, folder, "annotation.json")
+        dst_dir = os.path.join(frame_dir, folder)
+        if os.path.isfile(src) and os.path.isdir(dst_dir):
+            shutil.copy(src, os.path.join(dst_dir, "annotation.json"))
+            n += 1
+    return n
+
+
+def copy_json_with_target_box(source_path: str, destination_path: str,
+                              target_box: Sequence[int]) -> bool:
+    """Copy an annotation json adding an int 'target_box'
+    [x0, y0, x1, y1] field (configure_bench.py:93-127)."""
+    try:
+        with open(source_path) as f:
+            data = json.load(f)
+        data["target_box"] = [int(v) for v in target_box]
+        os.makedirs(os.path.dirname(destination_path), exist_ok=True)
+        with open(destination_path, "w") as f:
+            json.dump(data, f, indent=4)
+        return True
+    except (OSError, json.JSONDecodeError):
+        return False
+
+
+def _pad_to_square_topleft(mask: np.ndarray) -> np.ndarray:
+    """Pad a 2-d mask square: left pad when taller, top pad when wider
+    (configure_bench.py pad_to_square:64-91 — note this pads the
+    OPPOSITE sides from the model's bottom/right input padding)."""
+    h, w = mask.shape
+    if h > w:
+        return np.pad(mask, ((0, 0), (h - w, 0)))
+    if w > h:
+        return np.pad(mask, ((w - h, 0), (0, 0)))
+    return mask
+
+
+def add_object_masks(frame_dir: str, object_dir: str) -> int:
+    """'<object_dir>/{left,right}/<id>.png' -> square-padded
+    '<frame_dir>/<id>/obj_{left,right}.png'
+    (configure_bench.py add_objects:157-182)."""
+    import cv2
+
+    frames = set(os.listdir(frame_dir))
+    n = 0
+    for hand in ("left", "right"):
+        hdir = os.path.join(object_dir, hand)
+        if not os.path.isdir(hdir):
+            continue
+        for fname in sorted(os.listdir(hdir)):
+            base = fname.split(".")[0]
+            if base not in frames:
+                continue
+            mask = cv2.imread(os.path.join(hdir, fname),
+                              cv2.IMREAD_GRAYSCALE)
+            if mask is None:
+                continue
+            cv2.imwrite(
+                os.path.join(frame_dir, base, f"obj_{hand}.png"),
+                _pad_to_square_topleft(mask))
+            n += 1
+    return n
+
+
+def _mask_bbox(mask: np.ndarray):
+    ys, xs = np.nonzero(np.asarray(mask) > 0)
+    if len(xs) == 0:
+        return None
+    return (int(xs.min()), int(ys.min()), int(xs.max()), int(ys.max()))
+
+
+def _merge_boxes(a, b):
+    if a is None:
+        return b
+    if b is None:
+        return a
+    return (min(a[0], b[0]), min(a[1], b[1]),
+            max(a[2], b[2]), max(a[3], b[3]))
+
+
+def assemble_cropped_annotations(bench_dir: str, out_dir: str,
+                                 offset: int = 50,
+                                 crop_images: bool = False) -> int:
+    """Build the cropped-benchmark annotation layout: per leaf frame
+    folder, merge the obj_left/obj_right mask bounding boxes, grow by
+    `offset` clamped to the mask shape, and write annotation.json with
+    the merged 'target_box' into the mirrored out_dir tree
+    (configure_bench.py crop_and_save_images:245-317). With
+    crop_images=True also crop every PNG (except bench_frame_overlay)
+    to the box after resizing to the mask shape — the step the
+    reference ran to produce its data_zipped 'cropped/' images (left
+    commented in the checked-in script). Returns frames processed."""
+    import cv2
+
+    n = 0
+    for root, dirs, files in sorted(os.walk(bench_dir)):
+        if any(os.path.isdir(os.path.join(root, d)) for d in dirs):
+            continue
+        shape = None
+        box = None
+        for hand in ("left", "right"):
+            p = os.path.join(root, f"obj_{hand}.png")
+            if os.path.exists(p):
+                m = cv2.imread(p, cv2.IMREAD_GRAYSCALE)
+                if m is not None:
+                    box = _merge_boxes(box, _mask_bbox(m))
+                    shape = m.shape
+        if box is None or shape is None:
+            continue
+        h, w = shape
+        x0 = max(box[0] - offset, 0)
+        y0 = max(box[1] - offset, 0)
+        x1 = min(box[2] + offset, w)
+        y1 = min(box[3] + offset, h)
+        rel = os.path.relpath(root, bench_dir)
+        out_leaf = os.path.join(out_dir, rel)
+        ann = os.path.join(root, "annotation.json")
+        if os.path.exists(ann):
+            copy_json_with_target_box(
+                ann, os.path.join(out_leaf, "annotation.json"),
+                (x0, y0, x1, y1))
+        if crop_images:
+            os.makedirs(out_leaf, exist_ok=True)
+            for fname in files:
+                if (not fname.endswith(".png")
+                        or fname == "bench_frame_overlay.png"):
+                    continue
+                img = cv2.imread(os.path.join(root, fname),
+                                 cv2.IMREAD_UNCHANGED)
+                if img is None:
+                    continue
+                if img.shape[:2] != (h, w):
+                    img = cv2.resize(img, (w, h),
+                                     interpolation=cv2.INTER_LINEAR)
+                cv2.imwrite(os.path.join(out_leaf, fname),
+                            img[y0:y1, x0:x1])
+        n += 1
+    return n
