@@ -218,16 +218,18 @@ class SamAttention(nn.Module):
             # (zero HBM relayouts) with heads as an unrolled in-kernel
             # lane-slice loop.
             from ..kernels.sam_attention import (
-                sam_global_attention,
+                sam_global_attention_qkv,
                 sam_window_attention_qkv,
             )
 
             if h % 8 == 0 and w % 8 == 0 and h * w >= 1024:
-                qkv5 = qkv.reshape(b, h * w, 3, self.num_heads, head_dim)
-                q, k, v = qkv5[:, :, 0], qkv5[:, :, 1], qkv5[:, :, 2]
-                out = sam_global_attention(q, k, v, rel_pos_h, rel_pos_w,
-                                           (h, w), sm_scale=scale)
-                out = out.reshape(b, h * w, c)
+                # natural qkv layout straight into the kernel — no
+                # (B, L, 3, nh, d) slice/transpose materialization
+                # (sam_global_attention_qkv falls back to the legacy
+                # per-head path when lane blocking cannot apply).
+                out = sam_global_attention_qkv(
+                    qkv, rel_pos_h, rel_pos_w, (h, w), self.num_heads,
+                    sm_scale=scale)
             else:
                 out = sam_window_attention_qkv(
                     qkv, rel_pos_h, rel_pos_w, (h, w), self.num_heads,

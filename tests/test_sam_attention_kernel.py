@@ -342,3 +342,54 @@ def test_sam_block_window_split_env_matches_default(monkeypatch):
     np.testing.assert_allclose(np.asarray(out_split),
                                np.asarray(out_fused),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_global_qkv_natural_matches_xla_and_grads():
+    """Natural-layout global kernel (sam_global_attention_qkv): forward
+    and custom-vjp backward parity vs the XLA reference path at an
+    aligned non-ViT-H config (H=W=32, nh=4, d=64)."""
+    import jax
+    import jax.numpy as jnp
+
+    from haff_tpu.kernels.sam_attention import sam_global_attention_qkv
+
+    H = W = 32
+    L, nh, d = H * W, 4, 64
+    C = nh * d
+    rng = np.random.RandomState(3)
+    qkv = jnp.asarray(rng.randn(2, L, 3 * C).astype(np.float32))
+    rh = jnp.asarray(rng.randn(2 * H - 1, d).astype(np.float32) * 0.1)
+    rw = jnp.asarray(rng.randn(2 * W - 1, d).astype(np.float32) * 0.1)
+
+    ref = sam_global_attention_qkv(qkv, rh, rw, (H, W), nh, force_xla=True)
+    new = sam_global_attention_qkv(qkv, rh, rw, (H, W), nh, interpret=True)
+    np.testing.assert_allclose(np.asarray(new), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
+
+    gr = jax.grad(lambda x: jnp.sum(sam_global_attention_qkv(
+        x, rh, rw, (H, W), nh, force_xla=True) ** 2))(qkv)
+    gn = jax.grad(lambda x: jnp.sum(sam_global_attention_qkv(
+        x, rh, rw, (H, W), nh, interpret=True) ** 2))(qkv)
+    np.testing.assert_allclose(np.asarray(gn), np.asarray(gr),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_global_qkv_unaligned_falls_back():
+    """Odd head count cannot lane-block -> must still be numerically
+    right via the fallback."""
+    import jax.numpy as jnp
+
+    from haff_tpu.kernels.sam_attention import sam_global_attention_qkv
+
+    H = W = 32
+    nh, d = 3, 32
+    C = nh * d
+    rng = np.random.RandomState(4)
+    qkv = jnp.asarray(rng.randn(1, H * W, 3 * C).astype(np.float32))
+    rh = jnp.asarray(rng.randn(2 * H - 1, d).astype(np.float32) * 0.1)
+    rw = jnp.asarray(rng.randn(2 * W - 1, d).astype(np.float32) * 0.1)
+    ref = sam_global_attention_qkv(qkv, rh, rw, (H, W), nh,
+                                   force_xla=True)
+    out = sam_global_attention_qkv(qkv, rh, rw, (H, W), nh)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-5, atol=2e-5)
