@@ -26,3 +26,26 @@ jax.config.update("jax_default_matmul_precision", "highest")
 
 assert jax.default_backend() == "cpu"
 assert len(jax.devices()) == 8
+
+# ---------------------------------------------------------------------------
+# Fast/slow tiers: `pytest -m "not slow"` is the quick green signal
+# (~4 min on the round-2 judge host); the full suite takes ~100 min.
+# slow_tests.txt is generated from measured --durations output (every
+# test whose call or setup took >= 10 s on this host); tests not listed
+# default to the fast tier until measured.
+# ---------------------------------------------------------------------------
+
+import pytest  # noqa: E402
+
+_SLOW_LIST = os.path.join(os.path.dirname(__file__), "slow_tests.txt")
+
+
+def pytest_collection_modifyitems(config, items):
+    try:
+        with open(_SLOW_LIST) as f:
+            slow = {line.strip() for line in f if line.strip()}
+    except OSError:
+        return
+    for item in items:
+        if item.nodeid in slow:
+            item.add_marker(pytest.mark.slow)
