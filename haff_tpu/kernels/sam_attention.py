@@ -978,7 +978,7 @@ def _global_qkv_kernel(q_ref, k_ref, v_ref, bt_ref, o_ref,
 
 
 def _global_qkv_fwd(qkv, rel_h, rel_w, hw, nh, sm_scale, interpret,
-                    block_q: int = 512, block_k: int = 1024):
+                    block_q: int = None, block_k: int = None):
     """qkv: (B, L, 3*nh*d) natural dense output, L == hw[0]*hw[1].
     Returns (B, L, nh*d). No HBM head transposes: q/k/v/band operands
     are lane-blocked views of the dense outputs (the old _fused path
@@ -994,6 +994,16 @@ def _global_qkv_fwd(qkv, rel_h, rel_w, hw, nh, sm_scale, interpret,
     q_nat = qkv.reshape(b * l, f)[:, :c].reshape(b, l, nh, d)
     bt = _natural_band_tables_cat(q_nat, rel_h, rel_w, hw, kp)
 
+    import os
+
+    # Defaults measured on v5e (bf16 sweep at the b8 ViT-H shape:
+    # 1024/1024 12.39 ms/layer vs 512/1024 12.58, 512/2048 12.86,
+    # 1024/512 15.51; 1024/2048 OOMs scoped vmem on register spills).
+    # Env knobs kept for A/B at other shapes.
+    if block_q is None:
+        block_q = int(os.environ.get("HAFF_GLOBAL_BQ", "1024"))
+    if block_k is None:
+        block_k = int(os.environ.get("HAFF_GLOBAL_BK", "1024"))
     block_q = min(block_q, l)
     while l % block_q:
         block_q //= 2

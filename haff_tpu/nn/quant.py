@@ -453,17 +453,21 @@ def quantize_dense_tree(params: Dict,
 
 
 def sam_encoder_predicate(path: Tuple[str, ...],
-                          skip_blocks: Tuple[int, ...] = (7, 15, 23, 31)
+                          skip_blocks: Tuple[int, ...] = ()
                           ) -> bool:
     """int8-quantize the SAM ViT encoder's transformer matmuls (qkv,
-    proj, MLP) in the WINDOWED blocks. The patch embed, neck convs and
+    proj, MLP) in ALL blocks. The patch embed, neck convs and
     everything outside the blocks stay bf16 (cheap; the neck is fp32
-    for overflow parity, sam_image_encoder.py:209). `skip_blocks`
-    (default: ViT-H global_attn_indexes) also stay bf16 — measured on
-    v5e-1 at batch 24, int8 makes the global blocks SLOWER (74.1 vs
-    71.3 ms: their 4096-token attention is untouched by weight quant,
-    so the per-activation quantize pass is pure overhead), while the
-    windowed blocks gain (41.1 vs 44.7 ms)."""
+    for overflow parity, sam_image_encoder.py:209).
+
+    History: with the OLD per-head global attention path, int8 global
+    blocks measured SLOWER (74.1 vs 71.3 ms at batch 24) and
+    skip_blocks defaulted to the ViT-H global_attn_indexes; with the
+    natural-layout global kernel (sam_global_attention_qkv) the
+    activation-quantize pass fuses cleanly and int8 wins there too
+    (17.0 vs 18.3 ms/layer at b8, v5e) — default is now to quantize
+    every block. Pass skip_blocks=(7, 15, 23, 31) to restore the old
+    split for A/B."""
     blk = next((str(p) for p in path if str(p).startswith("blocks_")),
                None)
     if blk is None:
