@@ -162,8 +162,10 @@ class SamAttention(nn.Module):
             # einsum reads a CONTIGUOUS q operand instead of a strided
             # slice of the fused (.., 3C) output (band-slice 5.38 vs
             # band-dense 1.12 ms/layer at batch 24, tools/bench_kernels
-            # attnpath). Same-session headline A/B on v5e (int8 W8A8,
-            # batch 32): split 20.606 vs fused 20.175 fps — the split's
+            # attnpath). Confirmed with 3 interleaved A/B reps on the
+            # int8 windowed block at batch 32 (round 3, ADVICE r2):
+            # split 43.18/43.02/42.89 vs fused 44.30/44.03/43.89
+            # ms/layer (~2.4%, outside run-to-run noise) — the split's
             # extra activation-quant pass costs less than the strided
             # band read. HAFF_WINDOW_SPLIT=0 restores the fused dot.
             split = os.environ.get("HAFF_WINDOW_SPLIT", "1") == "1"
