@@ -107,13 +107,15 @@ def build(batch: int, int8: bool = False):
         .astype(np.float32))
     params = jax.jit(model.init)(jax.random.PRNGKey(0), images, text)
     if int8:
-        # W8A8 on the WINDOWED blocks' transformer matmuls (the win is
-        # halved weight HBM traffic, not MXU rate — tools/mxu_bench.py;
-        # global blocks stay bf16, where int8 measured slower).
-        # Accuracy-gated by tests/test_quant.py (encoder delta) and the
-        # AMG/predictor IoU tests. Analog of the reference's bnb 8-bit
-        # serving (inference.py:133-156), applied to the encoder where
-        # the TPU mask-path FLOPs actually are.
+        # W8A8 on ALL encoder blocks' transformer matmuls (the win is
+        # halved weight HBM traffic, not MXU rate — tools/mxu_bench.py).
+        # With the natural-layout global kernel the old "int8 global
+        # blocks slower" result inverted (17.0 vs 18.3 ms/layer b8,
+        # round 3), so sam_encoder_predicate now quantizes the global
+        # blocks too. Accuracy-gated by tests/test_quant.py (encoder
+        # delta) and the AMG/predictor IoU tests. Analog of the
+        # reference's bnb 8-bit serving (inference.py:133-156), applied
+        # to the encoder where the TPU mask-path FLOPs actually are.
         from haff_tpu.nn.quant import (quantize_dense_tree,
                                        sam_encoder_predicate)
 
@@ -170,12 +172,15 @@ def main():
     print(f"# backend ready in {time.monotonic() - t0:.1f}s "
           f"({_remaining():.0f}s left)", file=sys.stderr, flush=True)
     # Small batch first: cheapest compile -> a number on the board ASAP.
-    # 32 measured best with the lpad window kernel (20.12 vs 19.47 @ 24,
-    # 19.42 @ 48; 32 frames x 25 windows = 800 = exact group-8 multiple).
-    plan = [(8, 6), (32, 10), (24, 10)]
+    # 32 measured best (22.2 fps round 3 vs 20.8 @ 8/24, 21.3 @ 48;
+    # 32 frames x 25 windows = 800 = exact group-8 multiple). The tail
+    # (4, 2, 1) is a shrink ladder that only runs if NOTHING measured
+    # yet (flaky remote compiles / smaller-memory devices): a small real
+    # number beats a benchmark zero.
+    plan = [(8, 6), (32, 10), (24, 10), (4, 6), (2, 6), (1, 4)]
     for batch, iters in plan:
-        if _best_fps is not None and _remaining() < 120:
-            break  # not enough budget for another compile+measure
+        if _best_fps is not None and (_remaining() < 120 or batch < 8):
+            break  # budget guard / shrink ladder not needed
         # The remote compile helper fails intermittently (opaque HTTP
         # 500); retry each batch size once.
         for attempt in range(2):

@@ -392,8 +392,17 @@ def assemble_cropped_annotations(bench_dir: str, out_dir: str,
                 if img is None:
                     continue
                 if img.shape[:2] != (h, w):
-                    img = cv2.resize(img, (w, h),
-                                     interpolation=cv2.INTER_LINEAR)
+                    # target_box is in the SQUARE-PADDED mask canvas
+                    # (add_object_masks pads top/left), so non-square
+                    # images must be padded the same way, not resized —
+                    # the reference's commented-out crop resizes
+                    # (configure_bench.py:287) which stretches
+                    # non-square frames out of register with the box.
+                    ih, iw = img.shape[:2]
+                    pt, pl_ = max(h - ih, 0), max(w - iw, 0)
+                    pad_spec = ((pt, 0), (pl_, 0)) + (((0, 0),)
+                                                      * (img.ndim - 2))
+                    img = np.pad(img, pad_spec)[:h, :w]
                 cv2.imwrite(os.path.join(out_leaf, fname),
                             img[y0:y1, x0:x1])
         n += 1

@@ -95,8 +95,6 @@ class SamPredictor:
         iou_predictions (n,), taxonomy (4,) or None)."""
         import jax.numpy as jnp
 
-        from ..nn.sam import postprocess_masks_padded, resize_to_original
-
         assert self._embedding is not None, "call set_image first"
         points = labels = boxes = None
         if point_coords is not None:
@@ -111,18 +109,33 @@ class SamPredictor:
         out_l, out_r = self._decode(self.params, self._embedding, points,
                                     labels, boxes, None,
                                     bool(multimask_output))
+        masks, iou, tax = self._finish(out_l, out_r, hand, return_logits)
+        return masks[0], iou[0], None if tax is None else tax[0]
+
+    def _finish(self, out_l, out_r, hand: str, return_logits: bool):
+        """Shared decode tail: hand select, canvas upsample, crop+resize
+        to the original frame, optional binarize. Keeps predict and
+        predict_batch numerically identical by construction. Returns
+        batched (masks (N, n_out, H, W), iou (N, n_out),
+        taxonomy (N, 4) | None)."""
+        import jax.numpy as jnp
+
+        from ..nn.sam import postprocess_masks_padded, resize_to_original
+
         if hand == "left":
             masks, iou, taxonomy = out_l
         else:
             (masks, iou), taxonomy = out_r, None
-        canvas = postprocess_masks_padded(
-            jnp.asarray(masks, jnp.float32), self.image_size)[0]
-        orig = resize_to_original(np.asarray(canvas), self._input_hw,
-                                  self._orig_hw)
+        canvas = np.asarray(postprocess_masks_padded(
+            jnp.asarray(masks, jnp.float32), self.image_size))
+        n, n_out = canvas.shape[:2]
+        flat = resize_to_original(
+            canvas.reshape(n * n_out, *canvas.shape[2:]),
+            self._input_hw, self._orig_hw)
+        orig = flat.reshape(n, n_out, *flat.shape[1:])
         out_masks = orig if return_logits else (orig > 0)
-        return (out_masks,
-                np.asarray(iou)[0],
-                None if taxonomy is None else np.asarray(taxonomy)[0])
+        return (out_masks, np.asarray(iou),
+                None if taxonomy is None else np.asarray(taxonomy))
 
     def predict_batch(self, point_coords: np.ndarray,
                       point_labels: Optional[np.ndarray] = None,
@@ -140,8 +153,6 @@ class SamPredictor:
         (N, n_out, H, W), iou (N, n_out), taxonomy (N, 4) or None)."""
         import jax.numpy as jnp
 
-        from ..nn.sam import postprocess_masks_padded, resize_to_original
-
         assert self._embedding is not None, "call set_image first"
         pts = np.asarray(point_coords, np.float32)
         if pts.ndim == 2:
@@ -154,17 +165,4 @@ class SamPredictor:
         out_l, out_r = self._decode_batch(
             self.params, self._embedding, points, labels,
             bool(multimask_output))
-        if hand == "left":
-            masks, iou, taxonomy = out_l
-        else:
-            (masks, iou), taxonomy = out_r, None
-        canvas = np.asarray(postprocess_masks_padded(
-            jnp.asarray(masks, jnp.float32), self.image_size))
-        n_out = canvas.shape[1]
-        flat = resize_to_original(
-            canvas.reshape(n * n_out, *canvas.shape[2:]),
-            self._input_hw, self._orig_hw)
-        orig = flat.reshape(n, n_out, *flat.shape[1:])
-        out_masks = orig if return_logits else (orig > 0)
-        return (out_masks, np.asarray(iou),
-                None if taxonomy is None else np.asarray(taxonomy))
+        return self._finish(out_l, out_r, hand, return_logits)

@@ -540,21 +540,51 @@ def _window_qkv_kernel_db(q_ref, k_ref, v_ref, b_ref, o_ref, *,
 
 
 def _pick_group(bw_, default):
-    """Trace-time group-size choice: minimize the padded window total
-    over candidate groups <= default, ties to the LARGER group (deeper
-    operand pipeline). Large batches keep the tuned default (e.g. 600 or
-    800 windows % 8 == 0); small batches stop paying for pad windows —
-    at batch 1 (25 windows) this picks G=5 (zero pad), measured 1.055
-    vs 1.219 ms/layer against padded G=8 on v5e (winprof b1), the
-    single-frame-serving fix of VERDICT r2 item 3."""
+    """Trace-time group-size choice: deviate from the tuned default
+    only when a smaller group saves MEANINGFUL pad work (>10% of the
+    padded window total) — shallower groups cost per-step operand
+    bandwidth and pipeline depth, so near-ties go to the default.
+    Candidates stop at default//2 (never the degenerate G=1/2 for
+    awkward counts). Large batches keep the default (600/800 windows
+    % 8 == 0, zero pad); batch 1 (25 windows) picks G=5 (zero pad),
+    measured 1.055 vs 1.219 ms/layer against padded G=8 on v5e
+    (winprof b1) — the single-frame-serving fix of VERDICT r2 item 3;
+    batch 4 (100 windows) keeps G=8 (4% pad is cheaper than dropping
+    to G=5)."""
     default = min(default, bw_)
     best = default
-    best_total = -(-bw_ // default) * default
-    for g in range(default - 1, 0, -1):
+    default_total = -(-bw_ // default) * default
+    best_total = default_total
+    for g in range(default - 1, max(default // 2, 1) - 1, -1):
         total = -(-bw_ // g) * g
-        if total < best_total:
+        if total < best_total and total < 0.9 * default_total:
             best, best_total = g, total
     return best
+
+
+def _window_group(bw_, dtype):
+    """Resolve the window-kernel group size: tuned dtype default,
+    HAFF_WINDOW_GROUP override (malformed values keep the default),
+    padding-aware shrink via _pick_group. Shared by the fused and
+    split-operand forward variants so their tuning cannot diverge."""
+    import os
+
+    group = 8 if jnp.dtype(dtype).itemsize <= 2 else 4
+    env_g = os.environ.get("HAFF_WINDOW_GROUP", "")
+    if env_g.strip().isdigit():
+        return max(1, min(int(env_g), bw_))
+    return _pick_group(bw_, group)
+
+
+def _global_kp(hw, nh):
+    """Key-index pad for the global band tables: >= max(H, W) and
+    (nh * kp) 128-lane aligned. Shared by sam_global_attention_qkv's
+    alignment guard and _global_qkv_fwd — the guard is only valid while
+    both use the same kp."""
+    kp = 16
+    while kp < max(hw) or (nh * kp) % 128:
+        kp += 16
+    return kp
 
 
 def _window_qkv_fwd(qkv, rel_h, rel_w, hw, nh, sm_scale, interpret):
@@ -586,19 +616,12 @@ def _window_qkv_fwd(qkv, rel_h, rel_w, hw, nh, sm_scale, interpret):
                                   mask_pad=band_mask)
     kernel_lcont = l if band_mask else lcont
 
-    import os
-
     # Default G=8 with parallel grid semantics + a raised scoped-VMEM
     # limit (tools/bench_kernels.py winvar: v6-params G=8 3.79 ms/layer
     # vs the previous G=2 default 4.21 at batch 24 on v5e; G>2 without
     # the compiler params fails Mosaic's default scoped-VMEM budget).
     # HAFF_WINDOW_GROUP overrides for A/B at other batch shapes.
-    group = 8 if jnp.dtype(qkv.dtype).itemsize <= 2 else 4
-    env_g = os.environ.get("HAFF_WINDOW_GROUP", "")
-    if env_g.strip().isdigit():        # malformed values keep the default
-        group = max(1, min(int(env_g), bw_))
-    else:
-        group = _pick_group(bw_, group)
+    group = _window_group(bw_, qkv.dtype)
     # Pad the window dim up to a group multiple rather than shrinking to
     # G=1 (which halves per-step operand bandwidth and pipeline depth);
     # _pick_group balances pad waste against group depth. Zero-padded
@@ -679,14 +702,7 @@ def _window_qkv_split_fwd(q3, kv3, rel_h, rel_w, hw, nh, sm_scale,
                                   mask_pad=band_mask)
     kernel_lcont = l if band_mask else lcont
 
-    import os
-
-    group = 8 if jnp.dtype(q3.dtype).itemsize <= 2 else 4
-    env_g = os.environ.get("HAFF_WINDOW_GROUP", "")
-    if env_g.strip().isdigit():
-        group = max(1, min(int(env_g), bw_))
-    else:
-        group = _pick_group(bw_, group)
+    group = _window_group(bw_, q3.dtype)
     pad = (-bw_) % group
     if pad:
         q3 = jnp.pad(q3, ((0, pad), (0, 0), (0, 0)))
@@ -988,9 +1004,7 @@ def _global_qkv_fwd(qkv, rel_h, rel_w, hw, nh, sm_scale, interpret,
     b, l, f = qkv.shape
     c = f // 3
     d = c // nh
-    kp = 16
-    while kp < max(H, W) or (nh * kp) % 128:
-        kp += 16
+    kp = _global_kp(hw, nh)
     q_nat = qkv.reshape(b * l, f)[:, :c].reshape(b, l, nh, d)
     bt = _natural_band_tables_cat(q_nat, rel_h, rel_w, hw, kp)
 
@@ -998,12 +1012,18 @@ def _global_qkv_fwd(qkv, rel_h, rel_w, hw, nh, sm_scale, interpret,
 
     # Defaults measured on v5e (bf16 sweep at the b8 ViT-H shape:
     # 1024/1024 12.39 ms/layer vs 512/1024 12.58, 512/2048 12.86,
-    # 1024/512 15.51; 1024/2048 OOMs scoped vmem on register spills).
-    # Env knobs kept for A/B at other shapes.
+    # 1024/512 15.51; 1024/2048 OOMs scoped vmem on register spills;
+    # b32 confirms 1024/1024 49.6 vs 512/1024 51.4). Env knobs for A/B
+    # — malformed or non-positive values keep the defaults, like
+    # HAFF_WINDOW_GROUP.
+    def _env_block(name, default):
+        v = os.environ.get(name, "").strip()
+        return int(v) if v.isdigit() and int(v) > 0 else default
+
     if block_q is None:
-        block_q = int(os.environ.get("HAFF_GLOBAL_BQ", "1024"))
+        block_q = _env_block("HAFF_GLOBAL_BQ", 1024)
     if block_k is None:
-        block_k = int(os.environ.get("HAFF_GLOBAL_BK", "1024"))
+        block_k = _env_block("HAFF_GLOBAL_BK", 1024)
     block_q = min(block_q, l)
     while l % block_q:
         block_q //= 2
@@ -1094,9 +1114,7 @@ def sam_global_attention_qkv(qkv, rel_h, rel_w, hw: Tuple[int, int],
     if sm_scale is None:
         sm_scale = d ** -0.5
     hh = nh // 2
-    kp = 16
-    while kp < max(H, W) or (nh * kp) % 128:
-        kp += 16
+    kp = _global_kp(hw, nh)
     aligned = (qkv.shape[1] == H * W and nh % 2 == 0
                and (hh * d) % 128 == 0 and (hh * 2 * kp) % 128 == 0
                and H * W >= 1024 and W % 8 == 0)

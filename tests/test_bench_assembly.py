@@ -141,3 +141,36 @@ def test_copy_json_with_target_box_missing_source(tmp_path):
         str(tmp_path / "nope.json"), str(tmp_path / "out.json"),
         (0, 1, 2, 3))
     assert ok is False
+
+
+def test_cropped_images_nonsquare_padded_not_resized(tmp_path):
+    """Non-square source images must be square-padded (top/left, like
+    add_object_masks) before cropping — resizing would stretch them out
+    of register with the padded-canvas target_box."""
+    from haff_tpu.eval.tools import assemble_cropped_annotations
+
+    leaf = tmp_path / "bench" / "P91_01" / "0000001"
+    os.makedirs(leaf, exist_ok=True)
+    H = W = 64
+    obj = np.zeros((H, W), np.uint8)
+    obj[30:40, 30:50] = 255
+    _write_png(str(leaf / "obj_left.png"), obj)
+    with open(leaf / "annotation.json", "w") as f:
+        json.dump({"narration": "x"}, f)
+    # non-square frame, 16 rows shorter than the mask canvas; a unique
+    # marker row at frame row 0 must land at padded row 16
+    frame = np.zeros((H - 16, W, 3), np.uint8)
+    frame[0, :, :] = 200
+    _write_png(str(leaf / "inpainting.png"), frame)
+
+    out = tmp_path / "cropped"
+    assert assemble_cropped_annotations(
+        str(tmp_path / "bench"), str(out), offset=20,
+        crop_images=True) == 1
+    with open(out / "P91_01" / "0000001" / "annotation.json") as f:
+        x0, y0, x1, y1 = json.load(f)["target_box"]
+    crop = cv2.imread(str(out / "P91_01" / "0000001" / "inpainting.png"))
+    assert crop.shape[:2] == (y1 - y0, x1 - x0)
+    # marker row: original row 0 -> padded row 16 -> crop row 16 - y0
+    marker_rows = np.nonzero((crop == 200).all(axis=2).any(axis=1))[0]
+    assert list(marker_rows) == [16 - y0]
