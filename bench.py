@@ -50,14 +50,19 @@ import numpy as np  # noqa: E402
 
 _best_lock = threading.Lock()
 _best_fps = None  # None = nothing measured yet
+_run_inflight = False  # a run() is mid-measurement (watchdog grace)
 
 
-def _emit(fps: float) -> None:
-    print(json.dumps(dict(
+def _emit(fps: float, extra: dict = None) -> None:
+    rec = dict(
         metric=METRIC,
         value=round(fps, 3),
         unit="frames/s",
-        vs_baseline=round(fps / A100_BASELINE_FPS, 3))), flush=True)
+        vs_baseline=round(fps / A100_BASELINE_FPS, 3),
+        status="ok" if fps > 0 else "no_measurement")
+    if extra:
+        rec.update(extra)
+    print(json.dumps(rec), flush=True)
 
 
 def _record(fps: float) -> None:
@@ -83,12 +88,23 @@ def _watchdog() -> None:
         if left <= 0:
             break
         time.sleep(min(left, 5.0))
+    # Grace period: if a measurement is in flight and nothing is on the
+    # board yet, a short wait can turn a benchmark zero into a real
+    # number (ADVICE r3: the hard exit could kill a better batch mid-run
+    # — acceptable once SOMETHING is measured, not before).
+    grace_end = time.monotonic() + 30.0
+    while (_run_inflight and _best_fps is None
+           and time.monotonic() < grace_end):
+        time.sleep(2.0)
     with _best_lock:
-        if _best_fps is None:
+        failed = _best_fps is None
+        if failed:
             _emit(0.0)
     sys.stdout.flush()
     sys.stderr.flush()
-    os._exit(0)
+    # rc=1 distinguishes "infrastructure failure, nothing measured" from
+    # a measured result for the driver (ADVICE r3).
+    os._exit(1 if failed else 0)
 
 
 def build(batch: int, int8: bool = False):
@@ -146,14 +162,19 @@ def _sync(out):
 
 
 def run(batch: int, iters: int = 10, int8: bool = False):
+    global _run_inflight
     fn, params, images, text = build(batch, int8=int8)
     _sync(fn(params, images, text))  # compile
     _sync(fn(params, images, text))  # warm
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(params, images, text)
-    _sync(out)  # device streams execute in order: last-result readback
-    dt = time.perf_counter() - t0
+    _run_inflight = True
+    try:
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = fn(params, images, text)
+        _sync(out)  # device streams execute in order: last-result readback
+        dt = time.perf_counter() - t0
+    finally:
+        _run_inflight = False
     return batch * iters / dt
 
 
@@ -168,7 +189,7 @@ def main():
         print(f"# backend claim failed: {type(e).__name__}: {str(e)[:200]}",
               file=sys.stderr, flush=True)
         _emit(0.0)
-        return
+        sys.exit(1)
     print(f"# backend ready in {time.monotonic() - t0:.1f}s "
           f"({_remaining():.0f}s left)", file=sys.stderr, flush=True)
     # Small batch first: cheapest compile -> a number on the board ASAP.
@@ -201,9 +222,11 @@ def main():
                     # dead accelerator mid-run: emit what we have
                     if _best_fps is None:
                         _emit(0.0)
+                        sys.exit(1)
                     return
     if _best_fps is None:
         _emit(0.0)
+        sys.exit(1)
 
 
 if __name__ == "__main__":

@@ -402,7 +402,12 @@ def assemble_cropped_annotations(bench_dir: str, out_dir: str,
                     pt, pl_ = max(h - ih, 0), max(w - iw, 0)
                     pad_spec = ((pt, 0), (pl_, 0)) + (((0, 0),)
                                                       * (img.ndim - 2))
-                    img = np.pad(img, pad_spec)[:h, :w]
+                    # Pad top/left and, for OVERSIZED frames, keep the
+                    # bottom-right h x w window — the same anchoring as
+                    # the pad, so content stays registered with the
+                    # target_box either way (ADVICE r3: [:h,:w] kept the
+                    # top-left rows, inconsistent with the convention).
+                    img = np.pad(img, pad_spec)[-h:, -w:]
                 cv2.imwrite(os.path.join(out_leaf, fname),
                             img[y0:y1, x0:x1])
         n += 1

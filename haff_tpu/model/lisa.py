@@ -173,7 +173,8 @@ class LisaModel(nn.Module):
         # 3. [SEG] gather + projection.
         proj = self.project_seg(hidden)                    # (B, L, out_dim)
         seg_emb, seg_valid = gather_seg_embeddings(
-            proj, sp.seg_token_mask, max_segs=1)           # (B, 1, out_dim)
+            proj, sp.seg_token_mask,
+            max_segs=cfg.max_seg_tokens)             # (B, max_segs, out_dim)
 
         # 4. dual mask decode + canvas upsample.
         masks_l, masks_r, iou_l, iou_r, taxonomy = self.decode_masks(

@@ -65,8 +65,14 @@ def _embed_lookup_bwd(vocab, table_dtype, ids, ctg):
     import numpy as _np
     from jax import dtypes as _dtypes
     onehot = jax.nn.one_hot(ids, vocab, dtype=ctg.dtype)
+    # HIGHEST precision: on TPU the default matmul precision would
+    # bf16-truncate the fp32 cotangent through the MXU (measured ~1.4e-2
+    # max-abs divergence vs an exact scatter-add backward; exact under
+    # HIGHEST). The einsum is grad-path-only so the fp32 cost is free at
+    # inference and negligible in training (ADVICE r3).
     g = jnp.einsum("...v,...e->ve", onehot, ctg,
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=jnp.float32,
+                   precision=jax.lax.Precision.HIGHEST)
     return (g.astype(table_dtype),
             _np.zeros(ids.shape, dtype=_dtypes.float0))
 
