@@ -50,6 +50,8 @@ import numpy as np  # noqa: E402
 
 _best_lock = threading.Lock()
 _best_fps = None  # None = nothing measured yet
+_best_extra: dict = {}   # batch/tflops/mfu fields of the best run
+_e2e_fields: dict = {}   # e2e leg fields, merged into the final line
 _run_inflight = False  # a run() is mid-measurement (watchdog grace)
 
 
@@ -65,12 +67,13 @@ def _emit(fps: float, extra: dict = None) -> None:
     print(json.dumps(rec), flush=True)
 
 
-def _record(fps: float) -> None:
-    global _best_fps
+def _record(fps: float, extra: dict = None) -> None:
+    global _best_fps, _best_extra
     with _best_lock:
         if _best_fps is None or fps > _best_fps:
             _best_fps = fps
-            _emit(fps)
+            _best_extra = dict(extra or {})
+        _emit(_best_fps, {**_best_extra, **_e2e_fields})
 
 
 def _remaining() -> float:
@@ -164,18 +167,37 @@ def _sync(out):
 def run(batch: int, iters: int = 10, int8: bool = False):
     global _run_inflight
     fn, params, images, text = build(batch, int8=int8)
-    _sync(fn(params, images, text))  # compile
-    _sync(fn(params, images, text))  # warm
+    # AOT compile: the SAME executable serves measurement and XLA's
+    # cost_analysis, so the MFU fields (VERDICT r4 item 4) cost no
+    # second compile through the tunnel.
+    from haff_tpu.utils.flops import mfu_fields
+
+    flops = None
+    try:
+        compiled = fn.lower(params, images, text).compile()
+        try:
+            ca = compiled.cost_analysis()
+            ca = (ca[0] if ca else {}) if isinstance(ca, (list, tuple)) \
+                else ca
+            flops = float(ca.get("flops", 0.0)) or None
+        except Exception:
+            flops = None
+    except Exception:
+        compiled = fn  # lower/compile unsupported: plain jit path
+    _sync(compiled(params, images, text))  # compile (jit path) / warm
+    _sync(compiled(params, images, text))  # warm
     _run_inflight = True
     try:
         t0 = time.perf_counter()
         for _ in range(iters):
-            out = fn(params, images, text)
+            out = compiled(params, images, text)
         _sync(out)  # device streams execute in order: last-result readback
         dt = time.perf_counter() - t0
     finally:
         _run_inflight = False
-    return batch * iters / dt
+    fps = batch * iters / dt
+    extra = dict(batch=batch, **mfu_fields(flops, iters / dt))
+    return fps, extra
 
 
 def main():
@@ -207,12 +229,12 @@ def main():
         for attempt in range(2):
             try:
                 t0 = time.monotonic()
-                fps = run(batch, iters=iters, int8=int8)
-                print(f"# batch {batch}: {fps:.2f} fps "
+                fps, extra = run(batch, iters=iters, int8=int8)
+                print(f"# batch {batch}: {fps:.2f} fps {extra} "
                       f"({time.monotonic() - t0:.0f}s incl compile, "
                       f"{_remaining():.0f}s left)",
                       file=sys.stderr, flush=True)
-                _record(fps)
+                _record(fps, extra)
                 break
             except Exception as e:
                 print(f"# batch {batch} attempt {attempt} failed: "
@@ -227,6 +249,37 @@ def main():
     if _best_fps is None:
         _emit(0.0)
         sys.exit(1)
+    # e2e leg (VERDICT r4 item 4: the BENCH artifact must carry the
+    # full-evaluate number too, with its own tflops/mfu): flagship 7B
+    # int8+int8KV batch 8 — only when the watchdog budget allows it.
+    if _remaining() > 170 and "--no_e2e" not in sys.argv:
+        try:
+            import bench_e2e
+            global _e2e_fields
+
+            run_e2e, meta = bench_e2e.build(
+                "7b", batch=8, load_in_8bit=True, kv_cache_8bit=True)
+            run_e2e()  # compile
+            run_e2e()  # warm
+            t0 = time.perf_counter()
+            iters = 3
+            for _ in range(iters):
+                run_e2e()
+            dt = time.perf_counter() - t0
+            from haff_tpu.utils.flops import mfu_fields
+
+            e2e_fps = 8 * iters / dt
+            _e2e_fields = dict(
+                e2e_fps=round(e2e_fps, 3),
+                **mfu_fields(meta.get("flops_per_call"), iters / dt,
+                             prefix="e2e_"))
+            with _best_lock:
+                _emit(_best_fps, {**_best_extra, **_e2e_fields})
+            print(f"# e2e: {e2e_fps:.2f} fps {_e2e_fields}",
+                  file=sys.stderr, flush=True)
+        except Exception as e:
+            print(f"# e2e leg failed: {type(e).__name__}: {str(e)[:200]}",
+                  file=sys.stderr, flush=True)
 
 
 if __name__ == "__main__":

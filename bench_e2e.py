@@ -101,11 +101,29 @@ def build(preset="1b", batch=8, prompt_len=320, max_new=16,
             draft_len=draft_len)
         meta.update(speculative=True, draft_len=draft_len)
 
+    # AOT compile: one executable serves both the measurement and XLA's
+    # cost model, giving self-auditing tflops/MFU fields (VERDICT r4
+    # item 4) with no second compile through the tunnel.
+    call = ev
+    try:
+        compiled = ev.lower(params, images_sam, images_clip,
+                            jnp.asarray(ids), jnp.asarray(attn)).compile()
+        try:
+            ca = compiled.cost_analysis()
+            ca = (ca[0] if ca else {}) if isinstance(ca, (list, tuple)) \
+                else ca
+            meta["flops_per_call"] = float(ca.get("flops", 0.0)) or None
+        except Exception:
+            pass
+        call = compiled
+    except Exception:
+        pass
+
     steps_seen = []
 
     def run():
-        res = ev(params, images_sam, images_clip, jnp.asarray(ids),
-                 jnp.asarray(attn))
+        res = call(params, images_sam, images_clip, jnp.asarray(ids),
+                   jnp.asarray(attn))
         if res.decode_steps is not None:
             steps_seen.append(int(np.asarray(res.decode_steps)))
             meta["decode_steps"] = steps_seen[-1]
@@ -127,6 +145,9 @@ def main(batch=8, prompt_len=320, max_new=16, preset="1b",
         run()
     dt = time.perf_counter() - t0
     fps = batch * iters / dt
+    from haff_tpu.utils.flops import mfu_fields
+
+    meta.update(mfu_fields(meta.pop("flops_per_call", None), iters / dt))
     print(json.dumps(dict(metric="e2e_affordance_frames_per_sec_chip",
                           value=round(fps, 3), unit="frames/s", **meta)))
     return fps
@@ -148,6 +169,10 @@ def latency(prompt_len=320, max_new=16, preset="1b", iters=12,
         run()
         times.append((time.perf_counter() - t0) * 1000)
     p50 = float(np.percentile(times, 50))
+    from haff_tpu.utils.flops import mfu_fields
+
+    meta.update(mfu_fields(meta.pop("flops_per_call", None),
+                           1000.0 / p50))
     print(json.dumps(dict(metric="e2e_p50_ms_per_frame",
                           value=round(p50, 2), unit="ms", **meta)))
     return p50

@@ -1,11 +1,28 @@
 """Secondary benchmark: LoRA training-step throughput (BASELINE config 4
 analog — the train_ds.py replacement path).
 
-Full jitted train step on the 1B-decoder preset with SAM ViT-H + CLIP-L:
-LoRA/freeze split, taxonomy-gated losses, AdamW update. Reports
-samples/sec/chip. Prints one JSON line.
+Full jitted train step: LoRA/freeze split, taxonomy-gated losses, AdamW
+update, remat. Reports samples/sec/chip plus XLA-cost-model TFLOP/s and
+MFU vs the chip's measured matmul peak (haff_tpu/utils/flops.py).
+
+Presets:
+  --preset 1b               bf16 full stack (fits trivially)
+  --preset 7b --load_in_8bit    flagship QLoRA: frozen base int8
+                                IN-TREE (W8A8 fwd + straight-through
+                                bwd), float trainable partition — the
+                                reference trains 13B+LoRA via
+                                bitsandbytes (train_ds.py:57-58,
+                                temp_log.txt:24)
+  --preset 13b --load_in_4bit   13B QLoRA with a packed-int4 base
+
+For the quantized presets the float model is NEVER materialized: the
+frozen partition is generated directly in serving precision from a
+jax.eval_shape tree (nn/quant.random_quantized_like), exact for
+throughput measurement (same shapes/dtypes/HBM layout as a converted
+checkpoint).
 """
 
+import argparse
 import dataclasses
 import json
 import time
@@ -15,7 +32,8 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def main(batch=4, seq=320, preset="1b", steps=5):  # batch 4 measured best (8.9 vs 8.2 samples/s at 2)
+def build(batch=4, seq=320, preset="1b", load_in_8bit=False,
+          load_in_4bit=False):
     from haff_tpu.core.config import (
         IGNORE_INDEX,
         IMAGE_TOKEN_INDEX,
@@ -39,10 +57,11 @@ def main(batch=4, seq=320, preset="1b", steps=5):  # batch 4 measured best (8.9 
 
     rng = np.random.RandomState(0)
     S, C = cfg.sam_encoder.image_size, cfg.clip.image_size
-    ids = rng.randint(5, 30000, (batch, seq)).astype(np.int32)
+    ids = rng.randint(5, min(30000, cfg.llama.vocab_size - 10),
+                      (batch, seq)).astype(np.int32)
     ids[:, 0] = 1
     ids[:, 2] = IMAGE_TOKEN_INDEX
-    ids[:, 40] = cfg.seg_token_idx
+    ids[:, min(40, seq - 2)] = cfg.seg_token_idx
     labels = ids.copy()
     labels[:, :20] = IGNORE_INDEX
     tb = TrainBatch(
@@ -60,13 +79,53 @@ def main(batch=4, seq=320, preset="1b", steps=5):  # batch 4 measured best (8.9 
         valid_region=jnp.ones((batch, S, S)),
         sample_weight=jnp.ones((batch,)))
 
-    params = nn.unbox(
-        jax.jit(model.init)(jax.random.PRNGKey(0), tb)["params"])
-    trainable, frozen = partition_params(params)
+    if load_in_8bit or load_in_4bit:
+        # QLoRA: partition the eval_shape tree, materialize the frozen
+        # side quantized in-tree and the trainable side in float — the
+        # float base never exists on chip (7B bf16 + moments would bust
+        # 16 GB).
+        from haff_tpu.nn.quant import (default_llm_predicate,
+                                       random_quantized_like)
+
+        shapes = nn.unbox(jax.eval_shape(
+            model.init, jax.random.PRNGKey(0), tb)["params"])
+        t_shapes, f_shapes = partition_params(shapes)
+        trainable = random_quantized_like(
+            t_shapes, lambda k: False, big_bf16=1 << 62)
+        frozen = random_quantized_like(
+            f_shapes, default_llm_predicate,
+            bits=4 if load_in_4bit else 8)
+    else:
+        params = nn.unbox(
+            jax.jit(model.init)(jax.random.PRNGKey(0), tb)["params"])
+        trainable, frozen = partition_params(params)
     state = init_train_state(tcfg, trainable)
     step = jax.jit(make_train_step(model, tcfg))
+    meta = dict(decoder=preset, batch=batch,
+                load_in_8bit=load_in_8bit, load_in_4bit=load_in_4bit)
+    # AOT compile so XLA's cost analysis shares the one compile.
     key = jax.random.PRNGKey(0)
+    call = step
+    try:
+        compiled = step.lower(state, frozen, tb, key).compile()
+        try:
+            ca = compiled.cost_analysis()
+            ca = (ca[0] if ca else {}) if isinstance(ca, (list, tuple)) \
+                else ca
+            meta["flops_per_call"] = float(ca.get("flops", 0.0)) or None
+        except Exception:
+            pass
+        call = compiled
+    except Exception:
+        pass
+    return call, state, frozen, tb, key, meta
 
+
+def main(batch=4, seq=320, preset="1b", steps=5, load_in_8bit=False,
+         load_in_4bit=False):
+    # batch 4 measured best for 1b (11.17 vs 11.00 samples/s at 8, r3)
+    step, state, frozen, tb, key, meta = build(batch, seq, preset,
+                                               load_in_8bit, load_in_4bit)
     state, m = step(state, frozen, tb, key)
     _ = float(np.asarray(m["loss"]))  # compile + sync
     state, m = step(state, frozen, tb, key)
@@ -76,11 +135,22 @@ def main(batch=4, seq=320, preset="1b", steps=5):  # batch 4 measured best (8.9 
         state, m = step(state, frozen, tb, key)
     loss = float(np.asarray(m["loss"]))  # host sync
     dt = time.perf_counter() - t0
+    from haff_tpu.utils.flops import mfu_fields
+
+    meta.update(mfu_fields(meta.pop("flops_per_call", None), steps / dt))
     print(json.dumps(dict(metric="lora_train_samples_per_sec_chip",
                           value=round(batch * steps / dt, 3),
-                          unit="samples/s", decoder=preset, batch=batch,
-                          loss=round(loss, 4))))
+                          unit="samples/s", loss=round(loss, 4), **meta)))
 
 
 if __name__ == "__main__":
-    main()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--preset", default="1b")
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--seq", type=int, default=320)
+    ap.add_argument("--steps", type=int, default=5)
+    ap.add_argument("--load_in_8bit", action="store_true")
+    ap.add_argument("--load_in_4bit", action="store_true")
+    a = ap.parse_args()
+    main(a.batch, a.seq, a.preset, a.steps, a.load_in_8bit,
+         a.load_in_4bit)

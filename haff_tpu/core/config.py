@@ -100,6 +100,17 @@ class LlamaConfig:
                 num_heads=16,
                 num_kv_heads=16,
             )
+        if name == "small":  # overfit/demo-size (real shapes, cheap)
+            return LlamaConfig(
+                vocab_size=512,
+                hidden_size=256,
+                intermediate_size=512,
+                num_layers=4,
+                num_heads=8,
+                num_kv_heads=8,
+                head_dim=32,
+                max_seq_len=1024,
+            )
         if name == "tiny":  # test-size
             return LlamaConfig(
                 vocab_size=512,
@@ -147,6 +158,13 @@ class SamEncoderConfig:
             return SamEncoderConfig(
                 embed_dim=768, depth=12, num_heads=12,
                 global_attn_indexes=(2, 5, 8, 11))
+        if name == "small":
+            # Overfit/demo scale: 512-pixel canvas keeps enough mask
+            # resolution (128x128 low-res logits) for >= 0.9 IoU while
+            # the 4-block encoder trains in seconds per step.
+            return SamEncoderConfig(
+                image_size=512, embed_dim=256, depth=4, num_heads=8,
+                global_attn_indexes=(1, 3), window_size=8)
         if name == "tiny":
             return SamEncoderConfig(
                 image_size=128, embed_dim=32, depth=2, num_heads=2,
@@ -208,6 +226,18 @@ class ModelConfig:
             return ModelConfig(llama=LlamaConfig.preset("13b"))
         if name == "1b":
             return ModelConfig(llama=LlamaConfig.preset("1b"))
+        if name == "small":
+            # Real architecture at demo scale: the round-4 "training
+            # actually learns" overfit runs use this (full-resolution
+            # SAM decoder head dims, ByteTokenizer-sized vocab).
+            return ModelConfig(
+                llama=LlamaConfig.preset("small"),
+                clip=ClipVisionConfig(
+                    image_size=64, patch_size=8, hidden_size=128,
+                    intermediate_size=256, num_layers=4, num_heads=4),
+                sam_encoder=SamEncoderConfig.preset("small"),
+                seg_token_idx=500,
+            )
         if name == "tiny":
             return ModelConfig(
                 llama=LlamaConfig.preset("tiny"),

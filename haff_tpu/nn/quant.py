@@ -10,6 +10,7 @@ HBM weight traffic and footprint drop 2x vs bf16 / 4x vs f32.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, Dict, NamedTuple, Tuple
 
 import jax
@@ -301,21 +302,10 @@ def int4_matmul(x: jnp.ndarray, packed: jnp.ndarray, scale: jnp.ndarray,
             + jax.lax.dot_general(xb, whi, (((nd,), (0,)), ((), ()))))
 
 
-def int8_matmul(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray,
-                dtype=None) -> jnp.ndarray:
-    """W8A8 matmul: dynamic per-token symmetric activation quantization,
-    int8 x int8 -> int32 dot, then rescale by (act_scale * weight_scale).
-
-    x: (..., in) float; q: (in, out) int8 kernel; scale: (out,) f32
-    per-output-channel weight scales (from quantize_kernel).
-
-    HAFF_INT8_PALLAS=1 routes the dot through the Pallas tiled kernel
-    (pallas_int8_matmul) instead of XLA's dot_general — measured A/B on
-    chip decides the default (see tools/mxu_bench.py notes: XLA's int8
-    dot does not raise the MXU rate on v5e)."""
+def _int8_matmul_impl(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray,
+                      dtype) -> jnp.ndarray:
     import os
 
-    dtype = dtype or x.dtype
     xf = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
     s_x = jnp.where(amax == 0, 1.0, amax / 127.0)
@@ -333,6 +323,62 @@ def int8_matmul(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray,
         xq, q, (((xq.ndim - 1,), (0,)), ((), ())),
         preferred_element_type=jnp.int32)
     return (y.astype(jnp.float32) * (s_x * scale)).astype(dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _int8_matmul_ste(x, q, scale, dtype):
+    return _int8_matmul_impl(x, q, scale, dtype)
+
+
+def _int8_matmul_ste_fwd(x, q, scale, dtype):
+    # Residual: q + scale (for the dequantized-weight backward dot) and a
+    # zero-size marker carrying x's dtype so the cotangent matches.
+    return (_int8_matmul_impl(x, q, scale, dtype),
+            (q, scale, jnp.zeros((0,), x.dtype)))
+
+
+def _int8_matmul_ste_bwd(dtype, res, dy):
+    import numpy as _np
+    from jax import dtypes as _dtypes
+
+    q, scale, xmark = res
+    # Straight-through estimator: d/dx runs against the DEQUANTIZED
+    # weight (bf16/f32 dot), ignoring the activation-quant rounding —
+    # the standard QLoRA/AQT training convention. q int8 and scale are
+    # frozen serving params by contract; their cotangents are
+    # zero/float0 (training a quantized kernel through this op is
+    # unsupported — requantize from float masters instead).
+    w = (q.astype(jnp.float32) * scale).astype(dy.dtype)
+    dx = jax.lax.dot_general(
+        dy, w, (((dy.ndim - 1,), (1,)), ((), ())))
+    return (dx.astype(xmark.dtype),
+            _np.zeros(q.shape, _dtypes.float0),
+            jnp.zeros_like(scale))
+
+
+_int8_matmul_ste.defvjp(_int8_matmul_ste_fwd, _int8_matmul_ste_bwd)
+
+
+def int8_matmul(x: jnp.ndarray, q: jnp.ndarray, scale: jnp.ndarray,
+                dtype=None) -> jnp.ndarray:
+    """W8A8 matmul: dynamic per-token symmetric activation quantization,
+    int8 x int8 -> int32 dot, then rescale by (act_scale * weight_scale).
+
+    x: (..., in) float; q: (in, out) int8 kernel; scale: (out,) f32
+    per-output-channel weight scales (from quantize_kernel).
+
+    Differentiable w.r.t. x via a straight-through custom_vjp (backward
+    is a bf16 dot against the dequantized weight) so a QLoRA-style
+    in-tree-quantized frozen base can sit UNDER trainable adapters
+    without the activation-quant `round` zeroing the gradient path
+    (reference train_ds.py:57-58 bitsandbytes load + LoRA). q/scale get
+    zero cotangents — quantized kernels are frozen by contract.
+
+    HAFF_INT8_PALLAS=1 routes the dot through the Pallas tiled kernel
+    (pallas_int8_matmul) instead of XLA's dot_general — measured A/B on
+    chip decides the default (see tools/mxu_bench.py notes: XLA's int8
+    dot does not raise the MXU rate on v5e)."""
+    return _int8_matmul_ste(x, q, scale, dtype or x.dtype)
 
 
 def _unboxed(v):

@@ -366,29 +366,21 @@ def main(argv=None):
     base_step = make_train_step(model, tcfg, mesh=mesh)
     if args.load_in_8bit or args.load_in_4bit:
         # QLoRA analog (reference train_ds.py:57-58 bitsandbytes load):
-        # the frozen base lives int8/int4 in HBM; the dequantize runs
-        # inside the jitted step and fuses into the consuming matmuls.
-        from ..nn.quant import default_llm_predicate, quantize_tree
+        # the frozen base lives int8/int4 IN-TREE in HBM — QDense reads
+        # the quantized kernel + scale leaves directly (W8A8 forward
+        # with the straight-through backward, nn/quant.int8_matmul; int4
+        # dequantizes per-layer into the dot). No whole-tree float copy
+        # ever materializes, so 7B/13B QLoRA fits a 16 GB chip — the
+        # round-3 dequantize-inside-jit formulation held the full bf16
+        # tree live across the step.
+        from ..nn.quant import default_llm_predicate, quantize_dense_tree
 
-        frozen, frozen_scales = quantize_tree(
+        frozen = quantize_dense_tree(
             frozen, default_llm_predicate,
             bits=4 if args.load_in_4bit else 8)
-
-        def step_fn_(state, frozen_q, batch, rng):
-            from ..nn.quant import dequantize_tree
-
-            return base_step(state,
-                             dequantize_tree(frozen_q, frozen_scales,
-                                             dtype),
-                             batch, rng)
-
-        step_fn = jax.jit(step_fn_)
-        print(f"frozen base quantized "
-              f"({'int4' if args.load_in_4bit else 'int8'}, "
-              f"{len(frozen_scales)} kernels)")
-    else:
-        frozen_scales = None
-        step_fn = jax.jit(base_step)
+        print(f"frozen base quantized in-tree "
+              f"({'int4' if args.load_in_4bit else 'int8'})")
+    step_fn = jax.jit(base_step)
     logger = MetricsLogger(log_dir, use_wandb=args.use_wandb,
                            exp_name=args.exp_name)
     rng = jax.random.PRNGKey(args.seed)
@@ -404,17 +396,12 @@ def main(argv=None):
         from ..infer.evaluate import make_jitted_evaluate
         from ..nn.sam import resize_to_original
 
-        # In QLoRA mode the frozen partition is int8/int4; the merged
-        # eval params carry those kernels and the jitted evaluate
-        # dequantizes them (same path as int8 serving).
-        # scale keys are relative to the params tree; the evaluate fn
-        # sees the full variables dict, so prefix them.
-        ev_scales = ({("params",) + k: v
-                      for k, v in frozen_scales.items()}
-                     if frozen_scales else None)
+        # In QLoRA mode the frozen partition is quantized IN-TREE:
+        # the merged eval params carry int8/int4 kernels + scale leaves
+        # and QDense reads them directly (same path as int8 serving) —
+        # no external scale dict needed.
         ev = make_jitted_evaluate(model, max_new_tokens=32,
                                   eos_id=tok.eos_token_id,
-                                  quant_scales=ev_scales,
                                   quant_dtype=dtype)
         ious, iocms = [], []
         VB = max(1, args.val_batch_size)
@@ -443,6 +430,23 @@ def main(argv=None):
                 orig = sample.image.shape[:2]
                 ml = resize_to_original(ml_all[i:i + 1], (rh, rw), orig)[0]
                 mr = resize_to_original(mr_all[i:i + 1], (rh, rw), orig)[0]
+                # Benchmark val dirs keep GT at the square frame canvas
+                # (855x855) while images (and a missing hand's zero
+                # mask) are crop-sized; evaluate at the largest GT
+                # shape, resizing RAW predictions before binarizing
+                # (calculate_iou.py:212-234 convention).
+                gl, gr = sample.mask_left, sample.mask_right
+                gh, gw = max(gl.shape, gr.shape,
+                             key=lambda s: s[0] * s[1])
+                if gl.shape != (gh, gw):
+                    gl = np.zeros((gh, gw), np.uint8)
+                if gr.shape != (gh, gw):
+                    gr = np.zeros((gh, gw), np.uint8)
+                if tuple(orig) != (gh, gw):
+                    import cv2
+
+                    ml = cv2.resize(np.asarray(ml, np.float32), (gw, gh))
+                    mr = cv2.resize(np.asarray(mr, np.float32), (gw, gh))
                 tax = int(np.argmax(tax_all[i]))
                 pl_ = (ml > 0).astype(np.uint8)
                 pr_ = (mr > 0).astype(np.uint8)
@@ -450,8 +454,7 @@ def main(argv=None):
                     pr_[:] = 0
                 elif tax == 1:
                     pl_[:] = 0
-                m = union_metrics(pl_, pr_, sample.mask_left,
-                                  sample.mask_right)
+                m = union_metrics(pl_, pr_, gl, gr)
                 ious.append(m["iou"])
                 iocms.append(m["iocm"])
         return float(np.mean(ious)), float(np.mean(iocms))

@@ -532,3 +532,79 @@ def test_qdense_out_split_matches_fused_columns():
                              bits=4, group=64)
     assert q4["kernel"].dtype == jnp.uint8
     check(q4, rtol=1e-5, atol=1e-5)
+
+
+def test_int8_matmul_grad_is_straight_through():
+    """d/dx of the W8A8 matmul must be the dequantized-weight dot (STE):
+    the activation-quant round would otherwise zero every gradient that
+    crosses a quantized frozen layer (QLoRA, reference
+    train_ds.py:57-58)."""
+    import jax
+    import jax.numpy as jnp
+
+    from haff_tpu.nn.quant import int8_matmul, quantize_kernel
+
+    rng = np.random.RandomState(0)
+    w = rng.randn(64, 48).astype(np.float32) * 0.3
+    q, scale = quantize_kernel(jnp.asarray(w))
+    x = jnp.asarray(rng.randn(4, 64).astype(np.float32))
+    dy = jnp.asarray(rng.randn(4, 48).astype(np.float32))
+
+    def f(x):
+        return jnp.sum(int8_matmul(x, q, scale, dtype=jnp.float32) * dy)
+
+    g = jax.grad(f)(x)
+    wd = np.asarray(q, np.float32) * np.asarray(scale)
+    expected = np.asarray(dy) @ wd.T
+    np.testing.assert_allclose(np.asarray(g), expected, rtol=1e-5,
+                               atol=1e-5)
+    # value path unchanged by the custom_vjp wrapper
+    y = int8_matmul(x, q, scale, dtype=jnp.float32)
+    ref = (np.asarray(x) @ wd)
+    assert float(np.mean(np.abs(np.asarray(y) - ref))) < 0.05
+
+
+def test_qlora_in_tree_quantized_frozen_step():
+    """Train step with the frozen base quantized IN-TREE (QDense reads
+    int8 kernels + scales directly; no whole-tree dequant materializes a
+    float copy): finite loss, nonzero trainable grads THROUGH the
+    quantized layers, quantized leaves untouched."""
+    import jax
+    import jax.numpy as jnp
+
+    from haff_tpu.core.config import ModelConfig, TrainConfig
+    from haff_tpu.model.lisa import LisaModel
+    from haff_tpu.nn.quant import default_llm_predicate, quantize_dense_tree
+    from haff_tpu.train.trainer import (init_train_state, make_train_step,
+                                        partition_params)
+    from test_lisa_model import make_tiny_batch
+
+    import flax.linen as nn_
+
+    cfg = ModelConfig.preset("tiny").replace(
+        llama=__import__("dataclasses").replace(
+            ModelConfig.preset("tiny").llama, lora_rank=4))
+    tcfg = TrainConfig(model=cfg, lr=1e-3, warmup_steps=1, total_steps=10,
+                       grad_accumulation_steps=1)
+    model = LisaModel(cfg=cfg, dtype=jnp.float32, remat=False)
+    tb = make_tiny_batch(cfg)
+    params = nn_.unbox(
+        jax.jit(model.init)(jax.random.PRNGKey(0), tb)["params"])
+    trainable, frozen = partition_params(params)
+    frozen_q = quantize_dense_tree(frozen, default_llm_predicate, bits=8)
+    state = init_train_state(tcfg, trainable)
+    step = jax.jit(make_train_step(model, tcfg))
+    state2, metrics = step(state, frozen_q, tb, jax.random.PRNGKey(1))
+    # warmup starts the lr schedule at 0 — the second step applies a
+    # real update
+    state2, metrics = step(state2, frozen_q, tb, jax.random.PRNGKey(2))
+    assert np.isfinite(float(metrics["loss"]))
+    # LoRA adapters sit under the quantized projections: their grads can
+    # only be nonzero if the STE backward flows through int8 layers.
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.max(jnp.abs(a - b))),
+        state.trainable, state2.trainable)
+    flat = {"/".join(k): v for k, v in
+            __import__("flax").traverse_util.flatten_dict(moved).items()}
+    lora_moves = [v for k, v in flat.items() if "lora" in k.lower()]
+    assert lora_moves and max(lora_moves) > 0
