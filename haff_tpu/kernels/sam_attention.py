@@ -539,6 +539,193 @@ def _window_qkv_kernel_db(q_ref, k_ref, v_ref, b_ref, o_ref, *,
             o[h * g:(h + 1) * g].astype(o_ref.dtype)
 
 
+def _rel_band_operand(rel_h, rel_w, hw: Tuple[int, int], kp: int, dtype):
+    """All-rows rel-pos operand for the in-kernel band computation:
+    (d, 2*H*kp) with lane order [Rh row-blocks | Rw col-blocks],
+    Rall[c, r*kp + k] = R[r, k, c]. A few hundred KB — broadcast to
+    every grid step, replacing the (BW, L, nh*2kp) HBM band tables."""
+    H, W = hw
+    Rh = get_rel_pos(H, H, rel_h)                      # (H, H, d)
+    Rw = get_rel_pos(W, W, rel_w)                      # (W, W, d)
+    Rh = jnp.pad(Rh, ((0, 0), (0, kp - H), (0, 0)))
+    Rw = jnp.pad(Rw, ((0, 0), (0, kp - W), (0, 0)))
+    d = Rh.shape[-1]
+    cat = jnp.concatenate([Rh.reshape(H * kp, d),
+                           Rw.reshape(W * kp, d)], axis=0)
+    return cat.T.astype(dtype)                         # (d, 2*H*kp)
+
+
+def _window_qkv_kernel_db_iband(q_ref, k_ref, v_ref, r_ref, o_ref, *,
+                                hh, d, kp, hw, lcont, sm_scale,
+                                band_mask):
+    """Dot-batched windowed attention with the band tables computed
+    IN-KERNEL (VERDICT r4 item 1: the XLA band einsum was ~5.1 ms/layer
+    at batch 32 — the largest unfused block left in the encoder hot
+    path — and its (BW, L, nh*2kp) output is a full HBM round trip).
+
+    Instead of the l-batched gather-einsum, each head computes the
+    ALL-ROWS bias dot  B_all = q_h @ Rall  — (G*L, d) x (d, 2*H*kp), an
+    MXU-shaped matmul against the tiny broadcast operand `r_ref`
+    (_rel_band_operand) — then reduces it to the (G, L, 2kp) per-query
+    band with a query-side row/col MASK (VPU elementwise) and a fixed
+    one-hot SELECTION matmul (no lane slicing, no gather):
+
+        bc[l, k]        = sum_r 1[row(l) == r] * B_all[l, r*kp + k]
+        (and the col half likewise)
+
+    This computes H x the minimal band FLOPs, but at full MXU rate the
+    whole pass costs ~1-2 ms/layer vs 5.1 ms for the layout-bound XLA
+    einsum — and the band never touches HBM. Bit-compatibility: same
+    bf16 operands, f32 accumulation, exact one-hot select, same -1e30
+    tile-pad poison as _natural_band_tables_cat(mask_pad=True)."""
+    H, W = hw
+    g, l, _ = q_ref.shape
+    P = H * kp
+    dt = q_ref.dtype
+    # K-side one-hot expanders (as in _window_qkv_kernel_db).
+    rows_k = jax.lax.broadcasted_iota(jnp.int32, (l, kp), 0)
+    ridx = jax.lax.broadcasted_iota(jnp.int32, (l, kp), 1)
+    eh = (rows_k // W == ridx).astype(dt)
+    ew = (rows_k % W == ridx).astype(dt)
+    # Query-side row/col mask over the all-rows band: (G*L, 2P).
+    gl = g * l
+    qrow = jax.lax.broadcasted_iota(jnp.int32, (gl, 2 * P), 0) % l
+    jlane = jax.lax.broadcasted_iota(jnp.int32, (gl, 2 * P), 1)
+    rblk = (jlane % P) // kp
+    mask = jnp.where(jlane < P, qrow // W == rblk,
+                     qrow % W == rblk).astype(jnp.float32)
+    # Selection matrix (2P, 2kp): row half -> first kp lanes, col half
+    # -> last kp lanes, preserving the in-block key index.
+    sj = jax.lax.broadcasted_iota(jnp.int32, (2 * P, 2 * kp), 0)
+    so = jax.lax.broadcasted_iota(jnp.int32, (2 * P, 2 * kp), 1)
+    sel = jnp.where(sj < P, (so < kp) & (sj % kp == so),
+                    (so >= kp) & (sj % kp == so - kp)
+                    ).astype(jnp.float32)
+    # Tile-pad key poison lanes (Bh half, key rows [H, rmax]).
+    if band_mask:
+        rmax = (l - 1) // W
+        pl_lane = jax.lax.broadcasted_iota(jnp.int32, (l, 2 * kp), 1)
+        poison = (pl_lane < kp) & (pl_lane >= H) & (pl_lane <= rmax)
+    kmask = None if band_mask else _key_pad_mask(l, lcont)
+    qa_list, ka_list, v_list = [], [], []
+    for h in range(hh):
+        qh = q_ref[:, :, h * d:(h + 1) * d]
+        kh = k_ref[:, :, h * d:(h + 1) * d]
+        v_list.append(v_ref[:, :, h * d:(h + 1) * d])
+        b_all = jax.lax.dot_general(
+            qh.reshape(gl, d), r_ref[...],
+            (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (G*L, 2P)
+        bsel = jax.lax.dot_general(
+            b_all * mask, sel, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)        # (G*L, 2kp)
+        bc = bsel.reshape(g, l, 2 * kp)
+        if band_mask:
+            bc = jnp.where(poison[None], -1e30, bc)
+        qs = (qh.astype(jnp.float32) * sm_scale).astype(dt)
+        qa_list.append(jnp.concatenate([qs, bc.astype(dt)], axis=2))
+        ka_list.append(jnp.concatenate(
+            [kh, jnp.broadcast_to(eh[None], (g, l, kp)),
+             jnp.broadcast_to(ew[None], (g, l, kp))], axis=2))
+    qa = jnp.concatenate(qa_list, axis=0)              # (hh*G, L, d+2kp)
+    ka = jnp.concatenate(ka_list, axis=0)
+    vv = jnp.concatenate(v_list, axis=0)
+    s = jax.lax.dot_general(qa, ka, (((2,), (2,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    if kmask is not None:
+        s = s + kmask[None]
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l_sum = jnp.sum(p, axis=-1, keepdims=True)
+    o = jax.lax.dot_general(p.astype(vv.dtype), vv,
+                            (((2,), (1,)), ((0,), (0,))),
+                            preferred_element_type=jnp.float32)
+    o = o / l_sum
+    for h in range(hh):
+        o_ref[:, :, h * d:(h + 1) * d] = \
+            o[h * g:(h + 1) * g].astype(o_ref.dtype)
+
+
+def _window_qkv_band_fwd(operands, rel_h, rel_w, hw, nh, sm_scale,
+                         interpret, split):
+    """In-kernel-band forward. operands = (qkv,) for the fused dense
+    output or (q3, kv3) for the column-split projection; both reuse
+    _window_qkv_kernel_db_iband with different BlockSpecs. Caller
+    guarantees db_ok-style alignment (checked again here)."""
+    wh, ww = hw
+    if split:
+        q3, kv3 = operands
+        bw_, l, c = q3.shape
+    else:
+        (qkv,) = operands
+        bw_, l, f = qkv.shape
+        c = f // 3
+    d = c // nh
+    lcont = wh * ww
+    kp = 16
+    while (nh * kp) % 128:
+        kp += 16
+    band_mask = l > lcont and kp > (l - 1) // ww
+    kernel_lcont = l if band_mask else lcont
+    rall = _rel_band_operand(rel_h, rel_w, hw,
+                             kp, qkv.dtype if not split else q3.dtype)
+
+    group = _window_group(bw_, rall.dtype)
+    pad = (-bw_) % group
+    if pad:
+        if split:
+            q3 = jnp.pad(q3, ((0, pad), (0, 0), (0, 0)))
+            kv3 = jnp.pad(kv3, ((0, pad), (0, 0), (0, 0)))
+        else:
+            qkv = jnp.pad(qkv, ((0, pad), (0, 0), (0, 0)))
+    bwp = bw_ + pad
+
+    hh = nh // 2
+    hc = hh * d
+    P2 = 2 * wh * kp
+    kern = functools.partial(
+        _window_qkv_kernel_db_iband, hh=hh, d=d, kp=kp, hw=hw,
+        lcont=kernel_lcont, sm_scale=sm_scale, band_mask=band_mask)
+    rspec = pl.BlockSpec((d, P2), lambda i, h: (0, 0))
+    common = dict(
+        grid=(bwp // group, 2),
+        out_specs=pl.BlockSpec((group, l, hc), lambda i, h: (i, 0, h)),
+        out_shape=jax.ShapeDtypeStruct((bwp, l, c), rall.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel"),
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret)
+    if split:
+        out = pl.pallas_call(
+            kern,
+            in_specs=[
+                pl.BlockSpec((group, l, hc), lambda i, h: (i, 0, h)),
+                pl.BlockSpec((group, l, hc), lambda i, h: (i, 0, h)),
+                pl.BlockSpec((group, l, hc), lambda i, h: (i, 0, 2 + h)),
+                rspec,
+            ],
+            **common,
+        )(q3, kv3, kv3, rall)
+    else:
+        out = pl.pallas_call(
+            kern,
+            in_specs=[
+                pl.BlockSpec((group, l, hc), lambda i, h: (i, 0, h)),
+                pl.BlockSpec((group, l, hc), lambda i, h: (i, 0, 2 + h)),
+                pl.BlockSpec((group, l, hc), lambda i, h: (i, 0, 4 + h)),
+                rspec,
+            ],
+            **common,
+        )(qkv, qkv, qkv, rall)
+    return out[:bw_] if pad else out
+
+
+def _ikband_enabled():
+    import os
+
+    return os.environ.get("HAFF_WINDOW_IKBAND", "1") == "1"
+
+
 def _pick_group(bw_, default):
     """Trace-time group-size choice: deviate from the tuned default
     only when a smaller group saves MEANINGFUL pad work (>10% of the
@@ -602,6 +789,11 @@ def _window_qkv_fwd(qkv, rel_h, rel_w, hw, nh, sm_scale, interpret):
     kp = 16
     while (nh * kp) % 128:
         kp += 16
+    hh_ = nh // 2
+    if (_ikband_enabled() and nh % 2 == 0 and (hh_ * d) % 128 == 0
+            and (hh_ * kp) % 128 == 0 and wh == ww):
+        return _window_qkv_band_fwd((qkv,), rel_h, rel_w, hw, nh,
+                                    sm_scale, interpret, split=False)
     # Slice q through the flat 2D view: with lpad the qkv tensor IS a
     # row-major 2D matmul output, and phrasing the slice on that view
     # measured 4.40 vs 5.26 ms/layer for the band stage at batch 24
@@ -696,6 +888,11 @@ def _window_qkv_split_fwd(q3, kv3, rel_h, rel_w, hw, nh, sm_scale,
     kp = 16
     while (nh * kp) % 128:
         kp += 16
+    hh_ = nh // 2
+    if (_ikband_enabled() and nh % 2 == 0 and (hh_ * d) % 128 == 0
+            and (hh_ * kp) % 128 == 0 and wh == ww):
+        return _window_qkv_band_fwd((q3, kv3), rel_h, rel_w, hw, nh,
+                                    sm_scale, interpret, split=True)
     q_nat = q3.reshape(bw_, l, nh, d)          # contiguous view — free
     band_mask = l > lcont and kp > (l - 1) // ww
     bt = _natural_band_tables_cat(q_nat, rel_h, rel_w, hw, kp,

@@ -214,7 +214,10 @@ class MptBlock(nn.Module):
         h = QDense(cfg.expansion_ratio * cfg.d_model, use_bias=False,
                    dtype=self.dtype, param_dtype=self.param_dtype,
                    name="up_proj")(h)
-        h = nn.gelu(h, approximate=True)
+        # Exact (erf) GELU: the reference MPT MLP is nn.GELU(
+        # approximate="none") (mpt/blocks.py:17), NOT the tanh form —
+        # caught by the round-4 HF-MPT e2e parity test.
+        h = nn.gelu(h, approximate=False)
         h = QDense(cfg.d_model, use_bias=False, dtype=self.dtype,
                    param_dtype=self.param_dtype, name="down_proj")(h)
         return x + h, new_cache

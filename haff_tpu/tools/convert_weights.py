@@ -363,6 +363,40 @@ def convert_llama(sd: Dict[str, np.ndarray], num_layers: int,
     return p
 
 
+def convert_mpt(sd: Dict[str, np.ndarray], n_layers: int,
+                prefix: str = "transformer.") -> Dict:
+    """HF/mosaicml MptForCausalLM keys -> our nn/mpt.MptForCausalLM
+    params (reference vendored mpt/modeling_mpt.py layout: wte, blocks.i
+    {norm_1, attn.{Wqkv, out_proj}, norm_2, ffn.{up,down}_proj}, norm_f;
+    no biases, lm_head tied to wte)."""
+    p: Dict = {}
+
+    def put(path, val):
+        d = p
+        parts = path.split("/")
+        for k in parts[:-1]:
+            d = d.setdefault(k, {})
+        d[parts[-1]] = np.asarray(val)
+
+    put("wte/embedding", sd[prefix + "wte.weight"])
+    put("norm_f/scale", sd[prefix + "norm_f.weight"])
+    for i in range(n_layers):
+        b = f"{prefix}blocks.{i}."
+        o = f"blocks_{i}"
+        put(f"{o}/norm_1/scale", sd[b + "norm_1.weight"])
+        put(f"{o}/attn/Wqkv/kernel", t_linear(sd[b + "attn.Wqkv.weight"]))
+        put(f"{o}/attn/out_proj/kernel",
+            t_linear(sd[b + "attn.out_proj.weight"]))
+        if b + "attn.q_ln.weight" in sd:  # qk_ln variants
+            put(f"{o}/attn/q_ln/scale", sd[b + "attn.q_ln.weight"])
+            put(f"{o}/attn/k_ln/scale", sd[b + "attn.k_ln.weight"])
+        put(f"{o}/norm_2/scale", sd[b + "norm_2.weight"])
+        put(f"{o}/up_proj/kernel", t_linear(sd[b + "ffn.up_proj.weight"]))
+        put(f"{o}/down_proj/kernel",
+            t_linear(sd[b + "ffn.down_proj.weight"]))
+    return p
+
+
 # ---------------------------------------------------------------------------
 # Full 2HAff merged checkpoint
 # ---------------------------------------------------------------------------

@@ -393,3 +393,47 @@ def test_global_qkv_unaligned_falls_back():
     out = sam_global_attention_qkv(qkv, rh, rw, (H, W), nh)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_window_inkernel_band_matches_hbm_band_path():
+    """The round-4 in-kernel band computation (all-rows bias dot +
+    mask/select, _window_qkv_kernel_db_iband) must be BIT-identical to
+    the HBM band-table path it replaces (same bf16 operands, f32
+    accumulation, exact one-hot select) on the production window
+    geometry (nh=16, d=80, lpad L=200) — fused and split operands."""
+    import os
+
+    import haff_tpu.kernels.sam_attention as SA
+
+    rng = np.random.RandomState(3)
+    BW, H, W, nh, d = 5, 14, 14, 16, 80
+    l, c = 200, 16 * 80
+    qkv = jnp.asarray(rng.randn(BW, l, 3 * c).astype(np.float32),
+                      jnp.bfloat16)
+    rel_h = jnp.asarray(rng.randn(2 * H - 1, d).astype(np.float32) * 0.1,
+                        jnp.bfloat16)
+    rel_w = jnp.asarray(rng.randn(2 * W - 1, d).astype(np.float32) * 0.1,
+                        jnp.bfloat16)
+    sm = d ** -0.5
+    old_env = os.environ.get("HAFF_WINDOW_IKBAND")
+    try:
+        os.environ["HAFF_WINDOW_IKBAND"] = "0"
+        old = np.asarray(SA._window_qkv_fwd(
+            qkv, rel_h, rel_w, (H, W), nh, sm, True), np.float32)
+        os.environ["HAFF_WINDOW_IKBAND"] = "1"
+        new = np.asarray(SA._window_qkv_fwd(
+            qkv, rel_h, rel_w, (H, W), nh, sm, True), np.float32)
+        news = np.asarray(SA._window_qkv_split_fwd(
+            qkv[:, :, :c], qkv[:, :, c:], rel_h, rel_w, (H, W), nh, sm,
+            True), np.float32)
+    finally:
+        if old_env is None:
+            os.environ.pop("HAFF_WINDOW_IKBAND", None)
+        else:
+            os.environ["HAFF_WINDOW_IKBAND"] = old_env
+    lcont = H * W
+    assert np.array_equal(old[:, :lcont], new[:, :lcont])
+    assert np.array_equal(old[:, :lcont], news[:, :lcont])
+    xla = np.asarray(SA._window_qkv_xla(
+        qkv, rel_h, rel_w, (H, W), nh, sm), np.float32)
+    assert np.abs(xla[:, :lcont] - new[:, :lcont]).max() < 0.05
