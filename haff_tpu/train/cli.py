@@ -136,6 +136,10 @@ def parse_args(argv=None):
                    default=True)
     p.add_argument("--no_train_mask_decoder", dest="train_mask_decoder",
                    action="store_false")
+    p.add_argument("--train_vision_encoder", action="store_true",
+                   help="unfreeze the SAM image encoder (beyond the "
+                        "reference freeze set; for from-scratch runs "
+                        "with no pretrained tower)")
     p.add_argument("--reset_mask_decoder", action="store_true",
                    help="re-initialize both mask decoders (reference "
                         "train_ds.py:245-256)")
@@ -339,6 +343,13 @@ def main(argv=None):
     exclude = () if args.train_mask_decoder else (
         "mask_decoder_left", "mask_decoder_right")
     extra = ("moe",) if args.moe_experts > 0 else ()
+    if args.train_vision_encoder:
+        # Beyond the reference freeze set (train_ds.py:236-244 keeps the
+        # SAM tower frozen because it starts from pretrained
+        # sam_vit_h weights): unfreeze the SAM image encoder — needed
+        # when training from scratch (no pretrained tower exists), e.g.
+        # the round-4 real-data overfit demonstration.
+        extra = extra + ("image_encoder",)
     trainable, frozen = partition_params(params, exclude, extra)
     print(f"trainable params: {count_params(trainable):,} / "
           f"{count_params(trainable) + count_params(frozen):,}")

@@ -82,3 +82,57 @@ def test_cli_roundtrip_torch_files(tmp_path):
     main(["consolidate", "--src", str(sh), "--out", cp])
     merged = torch.load(cp, weights_only=True)
     assert set(merged) == {"a.weight", "b.weight"}
+
+
+def test_parity_check_dry_run(tmp_path, capsys):
+    """tools/parity_check.py IO path proven on locally-built torch
+    checkpoints (VERDICT r4 item 5c): a tiny HF CLIP dir and a tiny
+    original-layout SAM .pth — config inference, conversion, both-side
+    forwards and the PASS/FAIL report all execute; exit 0."""
+    import torch
+    from transformers import (CLIPVisionConfig, CLIPVisionModel,
+                              SamConfig, SamModel)
+
+    from haff_tpu.tools.convert_weights import hf_sam_to_original
+    from haff_tpu.tools.parity_check import main
+
+    torch.manual_seed(0)
+    clip_dir = tmp_path / "clip"
+    CLIPVisionModel(CLIPVisionConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=3,
+        num_attention_heads=2, image_size=64, patch_size=16,
+        hidden_act="quick_gelu")).save_pretrained(str(clip_dir))
+
+    scfg = SamConfig()
+    v = scfg.vision_config
+    v.hidden_size = 64
+    v.num_hidden_layers = 2
+    v.num_attention_heads = 1
+    v.mlp_dim = 256
+    v.image_size = 128
+    v.patch_size = 16
+    v.window_size = 4
+    v.global_attn_indexes = [1]
+    v.output_channels = 64
+    v.num_pos_feats = 32
+    scfg.prompt_encoder_config.hidden_size = 64
+    scfg.prompt_encoder_config.image_size = 128
+    scfg.prompt_encoder_config.patch_size = 16
+    scfg.prompt_encoder_config.image_embedding_size = 8
+    scfg.mask_decoder_config.hidden_size = 64
+    scfg.mask_decoder_config.mlp_dim = 128
+    scfg.mask_decoder_config.iou_head_hidden_dim = 64
+    hf_sam = SamModel(scfg).eval()
+    sam_pth = str(tmp_path / "sam_tiny.pth")
+    torch.save({k: torch.tensor(val) for k, val in hf_sam_to_original(
+        {k: v_.numpy() for k, v_ in hf_sam.state_dict().items()}
+    ).items()}, sam_pth)
+
+    with pytest.raises(SystemExit) as e:
+        main(["--clip", str(clip_dir), "--sam", sam_pth,
+              "--sam_heads", "1"])
+    out = capsys.readouterr().out
+    assert e.value.code == 0, out
+    assert "PASS clip_tower" in out, out
+    assert "SAM embedding stats" in out, out
+    assert "PASS sam_image_encoder" in out, out
