@@ -155,3 +155,80 @@ def make_jitted_evaluate(model: LisaModel, max_new_tokens: int,
                            draft_len=draft_len)
 
     return _eval
+
+
+def validate_on_benchmark(model: LisaModel, variables, tok, val_ds, *,
+                          val_batch_size: int = 1,
+                          model_max_length: int = 575,
+                          conv_type: str = "llava_v1",
+                          use_mm_start_end: bool = True,
+                          max_new_tokens: int = 32,
+                          quant_dtype=jnp.bfloat16):
+    """Reference validate() protocol (train_ds.py:625-758): batched
+    jitted evaluate over a benchmark walker, taxonomy-argmax mask
+    gating, binarize at 0, union IoU/IoCM per frame; predictions are
+    resized RAW to the GT canvas when the benchmark keeps GT at the
+    square frame resolution (calculate_iou.py:212-234 convention).
+
+    Shared by the training CLI's per-epoch validation and the
+    trained-checkpoint accuracy tests; `variables` is a full {"params":
+    ...} dict — in-tree quantized kernels (QDense) serve as-is. Returns
+    (mean IoU, mean IoCM, per-frame list)."""
+    import numpy as np
+
+    from ..data.collate import collate_affordance
+    from ..eval.metrics import union_metrics
+    from ..nn.sam import resize_to_original
+
+    cfg = model.cfg
+    ev = make_jitted_evaluate(model, max_new_tokens=max_new_tokens,
+                              eos_id=tok.eos_token_id,
+                              quant_dtype=quant_dtype)
+    ious, iocms, frames = [], [], []
+    VB = max(1, val_batch_size)
+    for start in range(0, len(val_ds), VB):
+        samples = [val_ds[i][0] for i in
+                   range(start, min(start + VB, len(val_ds)))]
+        pad = VB - len(samples)
+        vb = collate_affordance(
+            samples + [samples[-1]] * pad, tok,
+            sam_image_size=cfg.sam_encoder.image_size,
+            clip_image_size=cfg.clip.image_size,
+            max_text_len=model_max_length, conv_type=conv_type,
+            use_mm_start_end=use_mm_start_end, for_training=False)
+        res = ev(variables,
+                 jnp.asarray(vb["images_sam"]),
+                 jnp.asarray(vb["images_clip"]),
+                 jnp.asarray(vb["input_ids"]),
+                 jnp.asarray(vb["attention_mask"]))
+        ml_all = np.asarray(res.pred_masks_left)
+        mr_all = np.asarray(res.pred_masks_right)
+        tax_all = np.asarray(res.taxonomies)
+        for i, sample in enumerate(samples):
+            rh, rw = vb["resizes"][i]
+            orig = sample.image.shape[:2]
+            ml = resize_to_original(ml_all[i:i + 1], (rh, rw), orig)[0]
+            mr = resize_to_original(mr_all[i:i + 1], (rh, rw), orig)[0]
+            gl, gr = sample.mask_left, sample.mask_right
+            gh, gw = max(gl.shape, gr.shape, key=lambda s: s[0] * s[1])
+            if gl.shape != (gh, gw):
+                gl = np.zeros((gh, gw), np.uint8)
+            if gr.shape != (gh, gw):
+                gr = np.zeros((gh, gw), np.uint8)
+            if tuple(orig) != (gh, gw):
+                import cv2
+
+                ml = cv2.resize(np.asarray(ml, np.float32), (gw, gh))
+                mr = cv2.resize(np.asarray(mr, np.float32), (gw, gh))
+            tax = int(np.argmax(tax_all[i]))
+            pl_ = (ml > 0).astype(np.uint8)
+            pr_ = (mr > 0).astype(np.uint8)
+            if tax == 0:
+                pr_[:] = 0
+            elif tax == 1:
+                pl_[:] = 0
+            m = union_metrics(pl_, pr_, gl, gr)
+            ious.append(m["iou"])
+            iocms.append(m["iocm"])
+            frames.append(dict(iou=m["iou"], iocm=m["iocm"], tax=tax))
+    return float(np.mean(ious)), float(np.mean(iocms)), frames

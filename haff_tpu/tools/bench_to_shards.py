@@ -34,7 +34,8 @@ import numpy as np
 
 def benchmark_to_shards(benchmark_dir: str, out_dir: str,
                         shard_name: str = "VAL",
-                        shard_size: int = 64) -> int:
+                        shard_size: int = 64,
+                        balance_taxonomy: bool = False) -> int:
     """Pack every mask-bearing frame under benchmark_dir into training
     shards at out_dir. Returns the number of frames packed."""
     import cv2
@@ -101,6 +102,23 @@ def benchmark_to_shards(benchmark_dir: str, out_dir: str,
                                                 [0, 0, 1, 0])],
             aff_left=pad(ml), aff_right=pad(mr)))
 
+    if balance_taxonomy and records:
+        # Oversample minority taxonomy classes to near-uniform so the
+        # (double-softmax, low-gradient) taxonomy head doesn't collapse
+        # to the majority class under uniform random draws — observed
+        # in the round-4 overfit runs: 7 right / 2 left / 2 asym frames
+        # trained to tax=argmax 1 everywhere, zeroing both left-hand
+        # frames' masks at validation.
+        by_class = {}
+        for r in records:
+            by_class.setdefault(tuple(r.taxonomy), []).append(r)
+        target = max(len(v) for v in by_class.values())
+        balanced = []
+        for cls, rs in sorted(by_class.items()):
+            reps = -(-target // len(rs))
+            balanced.extend((rs * reps)[:target])
+        records = balanced
+
     n = 0
     for start in range(0, len(records), shard_size):
         chunk = records[start:start + shard_size]
@@ -116,9 +134,11 @@ def main(argv=None):
     p.add_argument("--out_dir", required=True)
     p.add_argument("--shard_name", default="VAL")
     p.add_argument("--shard_size", type=int, default=64)
+    p.add_argument("--balance_taxonomy", action="store_true")
     args = p.parse_args(argv)
     n = benchmark_to_shards(args.benchmark_dir, args.out_dir,
-                            args.shard_name, args.shard_size)
+                            args.shard_name, args.shard_size,
+                            balance_taxonomy=args.balance_taxonomy)
     print(f"packed {n} frames into {args.out_dir}")
 
 

@@ -179,7 +179,6 @@ def main(argv=None):
     from ..data.collate import collate_affordance
     from ..data.loader import PrefetchLoader
     from ..data.tokenizer import load_tokenizer, seg_token_idx
-    from ..eval.metrics import iocm_batch, iou_batch
     from ..model.lisa import LisaModel, TrainBatch
     from ..parallel.sharding import param_shardings, shard_batch_tree
     from .checkpoints import restore_checkpoint, save_checkpoint
@@ -401,74 +400,21 @@ def main(argv=None):
     best_iou = -1.0
 
     def run_validation(merged):
-        """Reference validate() (train_ds.py:625-758): taxonomy-argmax
-        mask selection, binarize at 0, union IoU/IoCM."""
-        from ..eval.metrics import union_metrics
-        from ..infer.evaluate import make_jitted_evaluate
-        from ..nn.sam import resize_to_original
+        """Reference validate() (train_ds.py:625-758) via the shared
+        protocol in infer/evaluate.py. In QLoRA mode the frozen
+        partition is quantized IN-TREE: the merged eval params carry
+        int8/int4 kernels + scale leaves and QDense reads them directly
+        (same path as int8 serving)."""
+        from ..infer.evaluate import validate_on_benchmark
 
-        # In QLoRA mode the frozen partition is quantized IN-TREE:
-        # the merged eval params carry int8/int4 kernels + scale leaves
-        # and QDense reads them directly (same path as int8 serving) —
-        # no external scale dict needed.
-        ev = make_jitted_evaluate(model, max_new_tokens=32,
-                                  eos_id=tok.eos_token_id,
-                                  quant_dtype=dtype)
-        ious, iocms = [], []
-        VB = max(1, args.val_batch_size)
-        for start in range(0, len(val_ds), VB):
-            samples = [val_ds[i][0] for i in
-                       range(start, min(start + VB, len(val_ds)))]
-            pad = VB - len(samples)
-            vb = collate_affordance(
-                samples + [samples[-1]] * pad, tok,
-                sam_image_size=cfg.sam_encoder.image_size,
-                clip_image_size=cfg.clip.image_size,
-                max_text_len=args.model_max_length,
-                conv_type=args.conv_type,
-                use_mm_start_end=args.use_mm_start_end,
-                for_training=False)
-            res = ev({"params": merged},
-                     jnp.asarray(vb["images_sam"]),
-                     jnp.asarray(vb["images_clip"]),
-                     jnp.asarray(vb["input_ids"]),
-                     jnp.asarray(vb["attention_mask"]))
-            ml_all = np.asarray(res.pred_masks_left)
-            mr_all = np.asarray(res.pred_masks_right)
-            tax_all = np.asarray(res.taxonomies)
-            for i, sample in enumerate(samples):
-                rh, rw = vb["resizes"][i]
-                orig = sample.image.shape[:2]
-                ml = resize_to_original(ml_all[i:i + 1], (rh, rw), orig)[0]
-                mr = resize_to_original(mr_all[i:i + 1], (rh, rw), orig)[0]
-                # Benchmark val dirs keep GT at the square frame canvas
-                # (855x855) while images (and a missing hand's zero
-                # mask) are crop-sized; evaluate at the largest GT
-                # shape, resizing RAW predictions before binarizing
-                # (calculate_iou.py:212-234 convention).
-                gl, gr = sample.mask_left, sample.mask_right
-                gh, gw = max(gl.shape, gr.shape,
-                             key=lambda s: s[0] * s[1])
-                if gl.shape != (gh, gw):
-                    gl = np.zeros((gh, gw), np.uint8)
-                if gr.shape != (gh, gw):
-                    gr = np.zeros((gh, gw), np.uint8)
-                if tuple(orig) != (gh, gw):
-                    import cv2
-
-                    ml = cv2.resize(np.asarray(ml, np.float32), (gw, gh))
-                    mr = cv2.resize(np.asarray(mr, np.float32), (gw, gh))
-                tax = int(np.argmax(tax_all[i]))
-                pl_ = (ml > 0).astype(np.uint8)
-                pr_ = (mr > 0).astype(np.uint8)
-                if tax == 0:
-                    pr_[:] = 0
-                elif tax == 1:
-                    pl_[:] = 0
-                m = union_metrics(pl_, pr_, gl, gr)
-                ious.append(m["iou"])
-                iocms.append(m["iocm"])
-        return float(np.mean(ious)), float(np.mean(iocms))
+        iou, iocm, _ = validate_on_benchmark(
+            model, {"params": merged}, tok, val_ds,
+            val_batch_size=args.val_batch_size,
+            model_max_length=args.model_max_length,
+            conv_type=args.conv_type,
+            use_mm_start_end=args.use_mm_start_end,
+            quant_dtype=dtype)
+        return iou, iocm
 
     if args.eval_only:
         if val_ds is None or not len(val_ds):
