@@ -530,13 +530,21 @@ def lisa_serving_predicate(path: Tuple[str, ...]) -> bool:
     LLaMA-7B bf16 alone exceeds a v5e's 16 GB HBM, int8 fits
     (reference analog: the bnb 8-bit load, inference.py:133-156)."""
     p = set(str(x) for x in path)
-    if any(str(x).startswith("blocks_") for x in path):
+    if "image_encoder" in p:
         return sam_encoder_predicate(path)
-    if "vision_tower" in p or "embed_tokens" in p:
+    if "vision_tower" in p or "embed_tokens" in p or "wte" in p:
+        return False
+    # LLM projections only: the mask decoders' TwoWayTransformer also
+    # has {q,k,v}_proj Dense layers, but those are plain nn.Dense (no
+    # quantized-kernel read path) and the reference's bnb 8-bit load
+    # quantizes the LLM alone (inference.py:133-156) — the round-4
+    # trained-weight accuracy run caught the old predicate matching
+    # them. "Wqkv"/"out_proj" cover the MPT backend's fused projections.
+    if "llm" not in p:
         return False
     return any(n in p for n in (
         "q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj",
-        "down_proj", "lm_head"))
+        "down_proj", "lm_head", "Wqkv", "out_proj"))
 
 
 def random_quantized_like(shapes: Dict,
