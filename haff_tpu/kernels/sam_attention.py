@@ -1131,7 +1131,8 @@ def sam_global_attention(q, k, v, rel_h, rel_w, hw: Tuple[int, int],
 
 def _global_qkv_kernel(q_ref, k_ref, v_ref, bt_ref, o_ref,
                        acc_ref, m_ref, l_ref, *,
-                       hh, d, kp, W, blk, num_kb, sm_scale):
+                       hh, d, kp, W, blk, num_kb, sm_scale,
+                       use_exp2=False):
     """Flash-style global attention over lane-blocked halves of the qkv
     dense output. Per (b, head-half, q-block) the kernel streams k
     blocks with online softmax; the hh heads of the half are stacked
@@ -1175,8 +1176,17 @@ def _global_qkv_kernel(q_ref, k_ref, v_ref, bt_ref, o_ref,
     m_prev = m_ref[...]
     l_prev = l_ref[...]
     m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-    p = jnp.exp(s - m_new)
-    alpha = jnp.exp(m_prev - m_new)
+    if use_exp2:
+        # exp(x) as the VPU-native exp2(x * log2 e): the softmax exp over
+        # nh*L^2 elements is a VPU-bound candidate for the kernel's gap
+        # vs its MXU flop bound (HAFF_GLOBAL_EXP2 A/B; last-ulp f32
+        # differences vs jnp.exp).
+        LOG2E = 1.4426950408889634
+        p = jnp.exp2((s - m_new) * LOG2E)
+        alpha = jnp.exp2((m_prev - m_new) * LOG2E)
+    else:
+        p = jnp.exp(s - m_new)
+        alpha = jnp.exp(m_prev - m_new)
     l_ref[...] = l_prev * alpha + jnp.sum(p, axis=-1, keepdims=True)
     m_ref[...] = m_new
     acc_ref[...] = acc_ref[...] * alpha + jax.lax.dot_general(
@@ -1234,7 +1244,9 @@ def _global_qkv_fwd(qkv, rel_h, rel_w, hw, nh, sm_scale, interpret,
     hc, hb = hh * d, hh * 2 * kp
     out = pl.pallas_call(
         functools.partial(_global_qkv_kernel, hh=hh, d=d, kp=kp, W=W,
-                          blk=block_k, num_kb=nk, sm_scale=sm_scale),
+                          blk=block_k, num_kb=nk, sm_scale=sm_scale,
+                          use_exp2=os.environ.get("HAFF_GLOBAL_EXP2")
+                          == "1"),
         grid=(b, 2, nq, nk),
         in_specs=[
             pl.BlockSpec((1, block_q, hc),
