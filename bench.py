@@ -170,20 +170,9 @@ def run(batch: int, iters: int = 10, int8: bool = False):
     # AOT compile: the SAME executable serves measurement and XLA's
     # cost_analysis, so the MFU fields (VERDICT r4 item 4) cost no
     # second compile through the tunnel.
-    from haff_tpu.utils.flops import mfu_fields
+    from haff_tpu.utils.flops import aot_with_flops, mfu_fields
 
-    flops = None
-    try:
-        compiled = fn.lower(params, images, text).compile()
-        try:
-            ca = compiled.cost_analysis()
-            ca = (ca[0] if ca else {}) if isinstance(ca, (list, tuple)) \
-                else ca
-            flops = float(ca.get("flops", 0.0)) or None
-        except Exception:
-            flops = None
-    except Exception:
-        compiled = fn  # lower/compile unsupported: plain jit path
+    compiled, flops = aot_with_flops(fn, params, images, text)
     _sync(compiled(params, images, text))  # compile (jit path) / warm
     _sync(compiled(params, images, text))  # warm
     _run_inflight = True

@@ -104,20 +104,11 @@ def build(preset="1b", batch=8, prompt_len=320, max_new=16,
     # AOT compile: one executable serves both the measurement and XLA's
     # cost model, giving self-auditing tflops/MFU fields (VERDICT r4
     # item 4) with no second compile through the tunnel.
-    call = ev
-    try:
-        compiled = ev.lower(params, images_sam, images_clip,
-                            jnp.asarray(ids), jnp.asarray(attn)).compile()
-        try:
-            ca = compiled.cost_analysis()
-            ca = (ca[0] if ca else {}) if isinstance(ca, (list, tuple)) \
-                else ca
-            meta["flops_per_call"] = float(ca.get("flops", 0.0)) or None
-        except Exception:
-            pass
-        call = compiled
-    except Exception:
-        pass
+    from haff_tpu.utils.flops import aot_with_flops
+
+    call, meta["flops_per_call"] = aot_with_flops(
+        ev, params, images_sam, images_clip, jnp.asarray(ids),
+        jnp.asarray(attn))
 
     steps_seen = []
 

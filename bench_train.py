@@ -104,20 +104,11 @@ def build(batch=4, seq=320, preset="1b", load_in_8bit=False,
     meta = dict(decoder=preset, batch=batch,
                 load_in_8bit=load_in_8bit, load_in_4bit=load_in_4bit)
     # AOT compile so XLA's cost analysis shares the one compile.
+    from haff_tpu.utils.flops import aot_with_flops
+
     key = jax.random.PRNGKey(0)
-    call = step
-    try:
-        compiled = step.lower(state, frozen, tb, key).compile()
-        try:
-            ca = compiled.cost_analysis()
-            ca = (ca[0] if ca else {}) if isinstance(ca, (list, tuple)) \
-                else ca
-            meta["flops_per_call"] = float(ca.get("flops", 0.0)) or None
-        except Exception:
-            pass
-        call = compiled
-    except Exception:
-        pass
+    call, meta["flops_per_call"] = aot_with_flops(
+        step, state, frozen, tb, key)
     return call, state, frozen, tb, key, meta
 
 

@@ -162,8 +162,7 @@ def validate_on_benchmark(model: LisaModel, variables, tok, val_ds, *,
                           model_max_length: int = 575,
                           conv_type: str = "llava_v1",
                           use_mm_start_end: bool = True,
-                          max_new_tokens: int = 32,
-                          quant_dtype=jnp.bfloat16):
+                          max_new_tokens: int = 32):
     """Reference validate() protocol (train_ds.py:625-758): batched
     jitted evaluate over a benchmark walker, taxonomy-argmax mask
     gating, binarize at 0, union IoU/IoCM per frame; predictions are
@@ -182,8 +181,7 @@ def validate_on_benchmark(model: LisaModel, variables, tok, val_ds, *,
 
     cfg = model.cfg
     ev = make_jitted_evaluate(model, max_new_tokens=max_new_tokens,
-                              eos_id=tok.eos_token_id,
-                              quant_dtype=quant_dtype)
+                              eos_id=tok.eos_token_id)
     ious, iocms, frames = [], [], []
     VB = max(1, val_batch_size)
     for start in range(0, len(val_ds), VB):

@@ -82,6 +82,13 @@ def propagate_masks(frames: jnp.ndarray, seed_masks: jnp.ndarray,
         return jax.lax.reduce_window(
             x, 0.0, jax.lax.add, (window, window), (1, 1), "SAME")
 
+    # Per-pixel tap count for the SAME-padded window: near borders the
+    # box covers fewer real pixels (25/81 at a 9x9 corner), so
+    # normalizing the gate by a constant window^2 would underestimate
+    # border costs ~3x and let a track drifting off-frame keep a
+    # spurious border mask.
+    box_count = box(jnp.ones((H, W), jnp.float32))
+
     def step(masks_prev, pair):
         f_prev, f_next = pair                            # (H, W, 5)
         fp_pad = jnp.pad(f_prev, ((radius, radius), (radius, radius),
@@ -105,8 +112,7 @@ def propagate_masks(frames: jnp.ndarray, seed_masks: jnp.ndarray,
                 jnp.zeros((m, H, W), jnp.float32))
         best_cost, masks_next = jax.lax.fori_loop(
             0, n_shifts, scan_shift, init)
-        gate = (best_cost / float(window * window)
-                < color_gate).astype(jnp.float32)
+        gate = (best_cost / box_count < color_gate).astype(jnp.float32)
         masks_next = masks_next * gate[None]
         return masks_next, masks_next
 

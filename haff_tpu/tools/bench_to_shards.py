@@ -40,24 +40,16 @@ def benchmark_to_shards(benchmark_dir: str, out_dir: str,
     shards at out_dir. Returns the number of frames packed."""
     import cv2
 
+    from ..data.aff_dataset import AffDatasetVal
     from ..pipeline.orchestrate import FrameRecord, pack_shard
 
-    entries = []
-    for vid in sorted(os.listdir(benchmark_dir)):
-        vdir = os.path.join(benchmark_dir, vid)
-        if not os.path.isdir(vdir):
-            continue
-        for frame in sorted(os.listdir(vdir)):
-            fdir = os.path.join(vdir, frame)
-            img_p = os.path.join(fdir, "inpainting.png")
-            ann_p = os.path.join(fdir, "annotation.json")
-            if not (os.path.exists(img_p) and os.path.exists(ann_p)):
-                continue
-            if not (os.path.exists(os.path.join(fdir, "aff_left.png"))
-                    or os.path.exists(os.path.join(fdir,
-                                                   "aff_right.png"))):
-                continue
-            entries.append(fdir)
+    # Frame discovery through the SAME walker the validator uses
+    # (AffDatasetVal, require_masks=True) so the trainer-side bridge and
+    # the validation walk can never accept different frame sets; only
+    # the LOADING differs (raw-grayscale mask resize below vs the
+    # walker's binarize-at-native).
+    entries = [e["dir"] for e in
+               AffDatasetVal(benchmark_dir, require_masks=True).entries]
     if not entries:
         return 0
 
@@ -98,8 +90,11 @@ def benchmark_to_shards(benchmark_dir: str, out_dir: str,
     for img, ann, ml, mr in loaded:
         records.append(FrameRecord(
             inpainted=pad(img), narration=str(ann.get("narration", "")),
+            # Missing-taxonomy default matches AffDatasetVal's ([0]*4)
+            # so the trainer and validator never disagree about a
+            # shared frame's label.
             taxonomy=[float(x) for x in ann.get("taxonomy",
-                                                [0, 0, 1, 0])],
+                                                [0, 0, 0, 0])],
             aff_left=pad(ml), aff_right=pad(mr)))
 
     if balance_taxonomy and records:

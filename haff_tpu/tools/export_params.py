@@ -82,16 +82,22 @@ def export_params(ckpt_dir: str, model_preset: str, out: str,
     merged = merge_params(jax.device_get(state.trainable), frozen)
     merged = merge_lora_params(merged, alpha=lora_alpha)
 
+    import ml_dtypes
+
     flat = {}
     for k, v in traverse_util.flatten_dict(merged).items():
         arr = np.asarray(jax.device_get(v))
-        if np.issubdtype(arr.dtype, np.floating):
-            # npz cannot hold bf16: float16 halves the artifact size and
-            # exceeds bf16's mantissa, so a bf16-served model round-trips
-            # exactly; --dtype float32 keeps full master precision.
-            arr = arr.astype(np.float16 if dtype == "bfloat16"
-                             else np.float32)
-        flat["/".join(k)] = arr
+        if np.issubdtype(arr.dtype, np.floating) and dtype == "bfloat16":
+            # npz cannot hold bf16 natively: store the bf16 BIT PATTERN
+            # as uint16 with a ::bf16 key marker (float16 would halve
+            # the exponent RANGE — values past 65504 silently overflow
+            # to inf; bf16 keeps float32's range).
+            flat["/".join(k) + "::bf16"] = arr.astype(
+                ml_dtypes.bfloat16).view(np.uint16)
+        elif np.issubdtype(arr.dtype, np.floating):
+            flat["/".join(k)] = arr.astype(np.float32)
+        else:
+            flat["/".join(k)] = arr
     os.makedirs(os.path.dirname(os.path.abspath(out)) or ".",
                 exist_ok=True)
     np.savez_compressed(out, **flat)
@@ -101,14 +107,19 @@ def export_params(ckpt_dir: str, model_preset: str, out: str,
 
 
 def load_exported_params(path: str):
-    """Flat .npz -> nested params dict (float16 promoted to float32)."""
+    """Flat .npz -> nested params dict (bf16 bit patterns promoted to
+    float32; legacy float16 exports also promoted)."""
+    import ml_dtypes
     from flax import traverse_util
 
     z = np.load(path)
     flat = {}
     for k in z.files:
         arr = z[k]
-        if arr.dtype == np.float16:
+        if k.endswith("::bf16"):
+            k = k[: -len("::bf16")]
+            arr = arr.view(ml_dtypes.bfloat16).astype(np.float32)
+        elif arr.dtype == np.float16:
             arr = arr.astype(np.float32)
         flat[tuple(k.split("/"))] = arr
     return traverse_util.unflatten_dict(flat)

@@ -64,15 +64,15 @@ def _sam_cfg_from_sd(sd):
                     if k.startswith("image_encoder.blocks."))
     patch = sd["image_encoder.patch_embed.proj.weight"].shape[-1]
     pe = sd["image_encoder.pos_embed"]          # (1, g, g, embed)
-    rel = sd["image_encoder.blocks.0.attn.rel_pos_h"].shape[0]
-    window = (rel + 1) // 2
     out_chans = sd["image_encoder.neck.0.weight"].shape[0]
-    # global blocks carry the larger (2*grid-1) rel tables
+    # Global blocks carry the larger (2*grid-1) rel tables; the window
+    # size comes from the SMALLEST table across blocks (block 0 itself
+    # may be global, e.g. global_attn_indexes containing 0).
     grid = pe.shape[1]
-    glob = tuple(
-        i for i in range(depth)
-        if sd[f"image_encoder.blocks.{i}.attn.rel_pos_h"].shape[0]
-        == 2 * grid - 1)
+    rels = [sd[f"image_encoder.blocks.{i}.attn.rel_pos_h"].shape[0]
+            for i in range(depth)]
+    window = (min(rels) + 1) // 2
+    glob = tuple(i for i, r in enumerate(rels) if r == 2 * grid - 1)
     return SamEncoderConfig(
         image_size=grid * patch, patch_size=patch, embed_dim=embed,
         depth=depth, num_heads=max(1, embed // 64),

@@ -412,8 +412,7 @@ def main(argv=None):
             val_batch_size=args.val_batch_size,
             model_max_length=args.model_max_length,
             conv_type=args.conv_type,
-            use_mm_start_end=args.use_mm_start_end,
-            quant_dtype=dtype)
+            use_mm_start_end=args.use_mm_start_end)
         return iou, iocm
 
     if args.eval_only:

@@ -25,20 +25,40 @@ from typing import Optional
 MEASURED_PEAK_TFLOPS = float(os.environ.get("HAFF_PEAK_TFLOPS", "149.8"))
 
 
-def compiled_flops(jit_fn, *args, **kwargs) -> Optional[float]:
-    """FLOPs of one execution of `jit_fn(*args)` per XLA's cost model.
-
-    Returns None when the backend does not expose cost analysis (some
-    remote/plugin backends) — callers must treat the fields as optional.
-    """
+def executable_flops(compiled) -> Optional[float]:
+    """FLOPs per execution of an AOT-compiled executable per XLA's cost
+    model; None when the backend does not expose cost analysis."""
     try:
-        ca = jit_fn.lower(*args, **kwargs).compile().cost_analysis()
+        ca = compiled.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0] if ca else {}
         flops = float(ca.get("flops", 0.0))
         return flops if flops > 0 else None
     except Exception:
         return None
+
+
+def aot_with_flops(jit_fn, *args, **kwargs):
+    """AOT-compile `jit_fn` for `args` and return (callable, flops).
+
+    ONE compile serves both the measurement loop and the cost model
+    (benches must not pay a second compile through the tunnel). Falls
+    back to (jit_fn, None) where lower/compile is unsupported.
+    """
+    try:
+        compiled = jit_fn.lower(*args, **kwargs).compile()
+    except Exception:
+        return jit_fn, None
+    return compiled, executable_flops(compiled)
+
+
+def compiled_flops(jit_fn, *args, **kwargs) -> Optional[float]:
+    """FLOPs of one execution of `jit_fn(*args)` per XLA's cost model.
+
+    Returns None when the backend does not expose cost analysis (some
+    remote/plugin backends) — callers must treat the fields as optional.
+    """
+    return aot_with_flops(jit_fn, *args, **kwargs)[1]
 
 
 def mfu_fields(flops_per_call: Optional[float], calls_per_sec: float,
