@@ -588,19 +588,28 @@ def _window_qkv_kernel_db_iband(q_ref, k_ref, v_ref, r_ref, o_ref, *,
     eh = (rows_k // W == ridx).astype(dt)
     ew = (rows_k % W == ridx).astype(dt)
     # Query-side row/col mask over the all-rows band: (G*L, 2P).
+    # NOTE: no boolean-select (`where` over i1 branches) — Mosaic on
+    # v5e rejects the i1 select lowering ("Unsupported target bitwidth
+    # for truncation"; the chipless AOT check accepted it). Masks are
+    # composed as f32 products of individually-cast comparisons.
     gl = g * l
     qrow = jax.lax.broadcasted_iota(jnp.int32, (gl, 2 * P), 0) % l
     jlane = jax.lax.broadcasted_iota(jnp.int32, (gl, 2 * P), 1)
     rblk = (jlane % P) // kp
-    mask = jnp.where(jlane < P, qrow // W == rblk,
-                     qrow % W == rblk).astype(jnp.float32)
+    is_row_half = (jlane < P).astype(jnp.float32)
+    mask = (is_row_half * (qrow // W == rblk).astype(jnp.float32)
+            + (1.0 - is_row_half)
+            * (qrow % W == rblk).astype(jnp.float32))
     # Selection matrix (2P, 2kp): row half -> first kp lanes, col half
     # -> last kp lanes, preserving the in-block key index.
     sj = jax.lax.broadcasted_iota(jnp.int32, (2 * P, 2 * kp), 0)
     so = jax.lax.broadcasted_iota(jnp.int32, (2 * P, 2 * kp), 1)
-    sel = jnp.where(sj < P, (so < kp) & (sj % kp == so),
-                    (so >= kp) & (sj % kp == so - kp)
-                    ).astype(jnp.float32)
+    sel = ((sj < P).astype(jnp.float32)
+           * (so < kp).astype(jnp.float32)
+           * (sj % kp == so).astype(jnp.float32)
+           + (sj >= P).astype(jnp.float32)
+           * (so >= kp).astype(jnp.float32)
+           * (sj % kp == so - kp).astype(jnp.float32))
     # Tile-pad key poison lanes (Bh half, key rows [H, rmax]).
     if band_mask:
         rmax = (l - 1) // W
