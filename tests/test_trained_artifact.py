@@ -74,11 +74,12 @@ def _validate(model, params, tok, val_ds):
 def test_trained_model_validates_on_real_frames(setup):
     model, params, tok, val_ds = setup
     iou, iocm, frames = _validate(model, params, tok, val_ds)
-    # Current artifact: the r4b run (val IoU 0.7567 / IoCM 0.7702 at
-    # export; 9/11 frames 0.89-0.98, the taxonomy head collapsed to the
-    # majority class on the 2 left-hand frames — see ROUND_NOTES r4).
-    # Gate with margin for BLAS/platform variance; tightened when the
-    # taxonomy-balanced r4d run replaces the artifact.
+    # Current artifact: the r4d run (taxonomy-balanced shards; val IoU
+    # 0.7559 / IoCM 0.7667 at export; 9/11 frames 0.88-0.97 with
+    # correct taxonomy incl. the asymmetric class — the 2 left-hand
+    # frames remain trapped by the reference's double-softmax taxonomy
+    # head, see ROUND_NOTES r4). Gate with margin for BLAS/platform
+    # variance.
     assert iou >= 0.70, (iou, frames)
     assert iocm >= 0.70, iocm
 
