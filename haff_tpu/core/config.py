@@ -214,6 +214,14 @@ class ModelConfig:
     ce_loss_weight: float = 1.0
     dice_loss_weight: float = 0.5
     bce_loss_weight: float = 2.0
+    # Default False = reference-faithful DOUBLE-softmax taxonomy CE (the
+    # head softmaxes at mask_decoder.py:172-178 and CrossEntropyLoss
+    # applies log_softmax again at LISA.py:415) — a known gradient trap
+    # that collapses rare classes. True = exact single-softmax CE on the
+    # pre-softmax logits (implemented as -sum(t*log(probs)): log_softmax
+    # of log-probabilities is the identity, so this IS CE-on-logits and
+    # its gradient through the head's softmax is softmax(z) - t).
+    taxonomy_logit_ce: bool = False
     # dtype policy
     dtype: str = "bfloat16"  # activation/compute dtype
     param_dtype: str = "float32"

@@ -157,6 +157,15 @@ def make_jitted_evaluate(model: LisaModel, max_new_tokens: int,
     return _eval
 
 
+def _resize_nearest(mask, gh: int, gw: int):
+    """Nearest-neighbour binary-mask resample to (gh, gw)."""
+    import cv2
+    import numpy as np
+
+    return cv2.resize(np.asarray(mask, np.uint8), (gw, gh),
+                      interpolation=cv2.INTER_NEAREST)
+
+
 def validate_on_benchmark(model: LisaModel, variables, tok, val_ds, *,
                           val_batch_size: int = 1,
                           model_max_length: int = 575,
@@ -209,10 +218,16 @@ def validate_on_benchmark(model: LisaModel, variables, tok, val_ds, *,
             mr = resize_to_original(mr_all[i:i + 1], (rh, rw), orig)[0]
             gl, gr = sample.mask_left, sample.mask_right
             gh, gw = max(gl.shape, gr.shape, key=lambda s: s[0] * s[1])
+            # A missing hand comes through as an all-zero mask whose
+            # canvas may differ from the other hand's; a REAL mask at a
+            # different resolution must be resampled, not discarded
+            # (ADVICE r4 finding 2).
             if gl.shape != (gh, gw):
-                gl = np.zeros((gh, gw), np.uint8)
+                gl = (np.zeros((gh, gw), np.uint8) if not gl.any() else
+                      _resize_nearest(gl, gh, gw))
             if gr.shape != (gh, gw):
-                gr = np.zeros((gh, gw), np.uint8)
+                gr = (np.zeros((gh, gw), np.uint8) if not gr.any() else
+                      _resize_nearest(gr, gh, gw))
             if tuple(orig) != (gh, gw):
                 import cv2
 

@@ -672,7 +672,10 @@ def _window_qkv_band_fwd(operands, rel_h, rel_w, hw, nh, sm_scale,
     d = c // nh
     lcont = wh * ww
     kp = 16
-    while (nh * kp) % 128:
+    # kp must also cover the window side: the band tables pad the
+    # (wh, wh, d) rel-pos slices out to kp keys (ADVICE r4 finding 1 —
+    # previously a negative jnp.pad for window_size > 16).
+    while kp < max(wh, ww) or (nh * kp) % 128:
         kp += 16
     band_mask = l > lcont and kp > (l - 1) // ww
     kernel_lcont = l if band_mask else lcont
@@ -796,11 +799,14 @@ def _window_qkv_fwd(qkv, rel_h, rel_w, hw, nh, sm_scale, interpret):
     lcont = wh * ww
     # kp: key-index pad so the bh/bw lane dim (nh*kp) is 128-aligned.
     kp = 16
-    while (nh * kp) % 128:
+    # kp must also cover the window side: the band tables pad the
+    # (wh, wh, d) rel-pos slices out to kp keys (ADVICE r4 finding 1 —
+    # previously a negative jnp.pad for window_size > 16).
+    while kp < max(wh, ww) or (nh * kp) % 128:
         kp += 16
     hh_ = nh // 2
     if (_ikband_enabled() and nh % 2 == 0 and (hh_ * d) % 128 == 0
-            and (hh_ * kp) % 128 == 0 and wh == ww):
+            and (hh_ * kp) % 128 == 0 and wh == ww and kp >= wh):
         return _window_qkv_band_fwd((qkv,), rel_h, rel_w, hw, nh,
                                     sm_scale, interpret, split=False)
     # Slice q through the flat 2D view: with lpad the qkv tensor IS a
@@ -895,11 +901,14 @@ def _window_qkv_split_fwd(q3, kv3, rel_h, rel_w, hw, nh, sm_scale,
     d = c // nh
     lcont = wh * ww
     kp = 16
-    while (nh * kp) % 128:
+    # kp must also cover the window side: the band tables pad the
+    # (wh, wh, d) rel-pos slices out to kp keys (ADVICE r4 finding 1 —
+    # previously a negative jnp.pad for window_size > 16).
+    while kp < max(wh, ww) or (nh * kp) % 128:
         kp += 16
     hh_ = nh // 2
     if (_ikband_enabled() and nh % 2 == 0 and (hh_ * d) % 128 == 0
-            and (hh_ * kp) % 128 == 0 and wh == ww):
+            and (hh_ * kp) % 128 == 0 and wh == ww and kp >= wh):
         return _window_qkv_band_fwd((q3, kv3), rel_h, rel_w, hw, nh,
                                     sm_scale, interpret, split=True)
     q_nat = q3.reshape(bw_, l, nh, d)          # contiguous view — free

@@ -194,7 +194,8 @@ class LisaModel(nn.Module):
             sample_weight=weight, bce_weight=cfg.bce_loss_weight,
             dice_weight=cfg.dice_loss_weight)
         tax_ce = L.taxonomy_ce_loss(taxonomy, batch.taxonomies,
-                                    sample_weight=weight)
+                                    sample_weight=weight,
+                                    logit_ce=cfg.taxonomy_logit_ce)
 
         total = ce + bce + dice + tax_ce
         return LisaOutputs(

@@ -68,15 +68,30 @@ def language_model_loss(logits: jnp.ndarray, labels: jnp.ndarray,
 
 def taxonomy_ce_loss(pred_taxonomy_probs: jnp.ndarray,
                      gt_taxonomy: jnp.ndarray,
-                     sample_weight=None) -> jnp.ndarray:
-    """Reference quirk reproduced deliberately: the taxonomy head already
-    softmaxes its logits (mask_decoder.py predict_taxonomy) and
+                     sample_weight=None,
+                     logit_ce: bool = False) -> jnp.ndarray:
+    """Reference quirk reproduced deliberately (default): the taxonomy head
+    already softmaxes its logits (mask_decoder.py predict_taxonomy) and
     CrossEntropyLoss(mean) with soft targets then applies log_softmax AGAIN
     over the probabilities (LISA.py taxonomy_ce_loss). Training-dynamics
     parity requires the same double softmax. sample_weight averages over
-    real batch rows only (padded rows excluded)."""
-    logp = jax.nn.log_softmax(pred_taxonomy_probs.astype(jnp.float32), -1)
+    real batch rows only (padded rows excluded).
+
+    logit_ce=True (ModelConfig.taxonomy_logit_ce) breaks the gradient trap:
+    log_softmax over log-probabilities is the identity (the log-probs
+    already logsumexp to 0), so CE on the head's pre-softmax logits equals
+    -sum(t * log(probs)) computed from the probabilities the head returns.
+    The backward through the head's softmax is then the healthy
+    softmax(z) - t instead of the vanishing double-softmax Jacobian."""
+    p = pred_taxonomy_probs.astype(jnp.float32)
+    if logit_ce:
+        # probs are an f32 softmax output; clamp only guards exact-0
+        # underflow (logits spread > ~87) without changing finite grads.
+        logp = jnp.log(jnp.maximum(p, 1e-30))
+    else:
+        logp = jax.nn.log_softmax(p, -1)
     per_sample = -jnp.sum(gt_taxonomy.astype(jnp.float32) * logp, axis=-1)
+
     if sample_weight is None:
         return jnp.mean(per_sample)
     w = sample_weight.astype(jnp.float32)

@@ -78,10 +78,18 @@ def _combine(a: Dict[str, np.ndarray], b: Dict[str, np.ndarray],
                 raise ValueError(
                     f"{name} shape mismatch {va.shape} vs {vb.shape} "
                     f"(only embed_tokens/lm_head may be vocab-extended)")
+            # One-directional vocab extension only (reference
+            # apply_delta.py indexes delta[:base.shape[0], :base.shape[1]]
+            # += base and would error on the inversion) — a base LARGER
+            # than the delta/target must fail loudly, not silently
+            # truncate (ADVICE r4 finding 3).
+            if not all(da >= db for da, db in zip(va.shape, vb.shape)):
+                raise ValueError(
+                    f"{name}: the iterated side's shape {va.shape} must "
+                    f"cover the other side's {vb.shape} (vocab extension "
+                    f"is one-directional)")
             r = np.array(va, copy=True)
-            rows = min(va.shape[0], vb.shape[0])
-            cols = min(va.shape[1], vb.shape[1])
-            r[:rows, :cols] += sign * vb[:rows, :cols]
+            r[:vb.shape[0], :vb.shape[1]] += sign * vb
             out[name] = r
     return out
 

@@ -90,6 +90,12 @@ def parse_args(argv=None):
     p.add_argument("--ce_loss_weight", type=float, default=1.0)
     p.add_argument("--dice_loss_weight", type=float, default=0.5)
     p.add_argument("--bce_loss_weight", type=float, default=2.0)
+    p.add_argument("--taxonomy_logit_ce", action="store_true",
+                   help="Single-softmax taxonomy CE (on pre-softmax "
+                   "logits). Default off = reference-faithful "
+                   "double-softmax (mask_decoder.py:172-178 + "
+                   "LISA.py:415), which is a gradient trap for rare "
+                   "taxonomy classes.")
     p.add_argument("--no_remat", action="store_true")
     p.add_argument("--load_in_8bit", action="store_true",
                    help="QLoRA-style: keep the frozen LLM base int8 in "
@@ -205,6 +211,7 @@ def main(argv=None):
         ce_loss_weight=args.ce_loss_weight,
         dice_loss_weight=args.dice_loss_weight,
         bce_loss_weight=args.bce_loss_weight,
+        taxonomy_logit_ce=args.taxonomy_logit_ce,
         llama=dataclasses.replace(
             base.llama, lora_rank=args.lora_r, lora_alpha=args.lora_alpha,
             lora_dropout=args.lora_dropout,

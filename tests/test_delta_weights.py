@@ -59,6 +59,16 @@ def test_shape_mismatch_outside_allowlist_rejected():
         make_delta(target, base)
 
 
+def test_inverted_vocab_extension_rejected():
+    """A base vocab LARGER than the target's must raise, matching the
+    reference's one-directional indexing (apply_delta.py would error);
+    previously min() silently truncated (ADVICE r4 finding 3)."""
+    base, target = _base(), _target()
+    base["model.embed_tokens.weight"] = np.zeros((20, 4), np.float32)
+    with pytest.raises(ValueError, match="one-directional"):
+        make_delta(target, base)
+
+
 def test_cli_roundtrip_torch_files(tmp_path):
     import torch
 

@@ -2,6 +2,7 @@
 available in the image; these mirror the published loss definitions, they
 are written fresh — see haff_tpu/model/losses.py docstrings)."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import torch
@@ -66,6 +67,45 @@ def test_taxonomy_double_softmax_quirk():
     ref = torch.nn.CrossEntropyLoss()(torch.tensor(probs),
                                       torch.tensor(gt)).item()
     np.testing.assert_allclose(ours, ref, rtol=1e-5)
+
+
+def test_taxonomy_logit_ce_matches_ce_on_logits():
+    """logit_ce=True computes -sum(t*log(softmax(z))) from the PROBS the
+    head returns — value AND gradient w.r.t. the pre-softmax logits must
+    match torch CrossEntropyLoss on z directly (the single-softmax path
+    that breaks the double-softmax gradient trap)."""
+    rng = np.random.RandomState(7)
+    z = rng.randn(5, 4).astype(np.float32) * 3.0
+    gt = np.eye(4, dtype=np.float32)[rng.randint(0, 4, size=5)]
+
+    def loss_from_logits(zj):
+        probs = jax.nn.softmax(zj, -1)
+        return L.taxonomy_ce_loss(probs, jnp.asarray(gt), logit_ce=True)
+
+    ours, ours_grad = jax.value_and_grad(loss_from_logits)(jnp.asarray(z))
+    zt = torch.tensor(z, requires_grad=True)
+    ref = torch.nn.CrossEntropyLoss()(zt, torch.tensor(gt))
+    ref.backward()
+    np.testing.assert_allclose(float(ours), ref.item(), rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(ours_grad),
+                               zt.grad.numpy(), atol=1e-5)
+
+
+def test_taxonomy_logit_ce_gradient_not_trapped():
+    """With a saturated head (one class near prob 1), the double-softmax
+    Jacobian vanishes while the logit CE keeps a healthy softmax(z)-t
+    gradient — the round-4 left-class collapse mechanism."""
+    z = jnp.asarray([[8.0, 0.0, 0.0, 0.0]], jnp.float32)  # saturated wrong
+    gt = jnp.asarray([[0.0, 1.0, 0.0, 0.0]], jnp.float32)
+
+    def g(logit_ce):
+        def f(zj):
+            return L.taxonomy_ce_loss(jax.nn.softmax(zj, -1), gt,
+                                      logit_ce=logit_ce)
+        return np.abs(np.asarray(jax.grad(f)(z))).max()
+
+    assert g(True) > 0.9          # ~|softmax - t| at the target class
+    assert g(False) < g(True) / 10  # double softmax: vanishing signal
 
 
 def test_taxonomy_gating_weights():

@@ -99,6 +99,34 @@ def test_window_kernel_matches_xla():
                                    rtol=1e-3, atol=1e-3)
 
 
+def test_window_qkv_oversized_window_falls_back(monkeypatch):
+    """window side > 16 (e.g. window 18 with nh=8) previously produced a
+    negative jnp.pad (kp - H) in BOTH the band-table and in-kernel-band
+    paths (ADVICE r4 finding 1). kp now rises to cover the window side,
+    and the dispatch guard additionally requires kp >= wh; the result
+    must match the XLA reference."""
+    from haff_tpu.kernels.sam_attention import (
+        _window_qkv_xla, sam_window_attention_qkv)
+
+    monkeypatch.setenv("HAFF_WINDOW_IKBAND", "1")
+    rng = np.random.RandomState(11)
+    nh, d = 8, 16   # nh*kp: kp=16 -> 128-aligned; hh*d = 64... pick d=32
+    nh, d = 8, 32   # hh_*d = 128, hh_*kp = 64 -> ikband needs %128
+    c = nh * d
+    wh = ww = 18    # > kp=16: previously raised inside _rel_band_operand
+    l = wh * ww
+    qkv = jnp.asarray(
+        rng.randn(2, l, 3 * c).astype(np.float32) * 0.3, jnp.bfloat16)
+    rel_h = jnp.asarray(rng.randn(2 * wh - 1, d).astype(np.float32) * 0.05)
+    rel_w = jnp.asarray(rng.randn(2 * ww - 1, d).astype(np.float32) * 0.05)
+    ours = sam_window_attention_qkv(qkv, rel_h, rel_w, (wh, ww), nh,
+                                    interpret=True)
+    ref = _window_qkv_xla(qkv, rel_h, rel_w, (wh, ww), nh, d ** -0.5)
+    np.testing.assert_allclose(
+        np.asarray(ours, np.float32), np.asarray(ref, np.float32),
+        rtol=0.05, atol=0.02)
+
+
 @pytest.mark.parametrize("bw", [1, 4, 5])
 def test_window_qkv_kernel_odd_window_counts(bw):
     """The natural-layout path pads the window dim up to a group multiple

@@ -39,6 +39,10 @@ pytestmark = pytest.mark.skipif(
 def setup(tmp_path_factory):
     import jax
 
+    # Force CPU for the module only and RESTORE afterwards — mutating
+    # jax_platforms for the rest of the pytest session would silently
+    # move later slow-tier tests off the TPU (ADVICE r4 finding 4).
+    prior = jax.config.jax_platforms
     jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
 
@@ -60,7 +64,8 @@ def setup(tmp_path_factory):
     model = LisaModel(cfg=cfg, dtype=jnp.float32)
     params = load_exported_params(_ARTIFACT)
     val_ds = AffDatasetVal(str(root))
-    return model, params, tok, val_ds
+    yield model, params, tok, val_ds
+    jax.config.update("jax_platforms", prior)
 
 
 def _validate(model, params, tok, val_ds):
