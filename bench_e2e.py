@@ -141,6 +141,16 @@ def main(batch=8, prompt_len=320, max_new=16, preset="1b",
     meta.update(mfu_fields(meta.pop("flops_per_call", None), iters / dt))
     print(json.dumps(dict(metric="e2e_affordance_frames_per_sec_chip",
                           value=round(fps, 3), unit="frames/s", **meta)))
+    # The FLAGSHIP serving config feeds bench.py's artifact sidecar (see
+    # haff_tpu/utils/bench_cache.py) so a round-end driver run short on
+    # budget can still carry a same-code e2e number.
+    if (preset == "7b" and batch == 8 and load_in_8bit and kv_cache_8bit
+            and not speculative):
+        from haff_tpu.utils.bench_cache import store
+
+        store("e2e", dict(e2e_fps=round(fps, 3),
+                          **{f"e2e_{k}": v for k, v in meta.items()
+                             if k in ("tflops", "mfu_pct")}))
     return fps
 
 
@@ -166,6 +176,10 @@ def latency(prompt_len=320, max_new=16, preset="1b", iters=12,
                            1000.0 / p50))
     print(json.dumps(dict(metric="e2e_p50_ms_per_frame",
                           value=round(p50, 2), unit="ms", **meta)))
+    if preset == "7b" and load_in_8bit and kv_cache_8bit and not speculative:
+        from haff_tpu.utils.bench_cache import store
+
+        store("p50", dict(p50_ms=round(p50, 1)))
     return p50
 
 

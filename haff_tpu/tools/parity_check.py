@@ -80,6 +80,192 @@ def _sam_cfg_from_sd(sd):
         global_attn_indexes=glob)
 
 
+class _TrackingDict(dict):
+    """State dict that records key reads — unread checkpoint keys after
+    conversion are key-map drift."""
+
+    def __init__(self, *a, **k):
+        super().__init__(*a, **k)
+        self.read = set()
+
+    def __getitem__(self, k):
+        self.read.add(k)
+        return super().__getitem__(k)
+
+    def get(self, k, default=None):
+        if super().__contains__(k):
+            self.read.add(k)
+        return super().get(k, default)
+
+
+def _shipped_7b_state_dict():
+    """Shape-exact synthetic state dict in the SHIPPED `sjauhri/2HAff`
+    layout (merge_lora_weights_and_save_hf_model.py:146-155 output):
+    HF LLaMA-7B keys + mm_projector + text_hidden_fcs + original-layout
+    SAM ViT-H under model.visual_model with the bimanual left/right
+    decoders and the left decoder's taxonomy head; vision_tower keys
+    stripped. Key NAMES and SHAPES come from meta-device instantiations
+    of the HF reference classes, not hand enumeration, so renames in
+    either direction surface as unused/missing keys. Values are lazily-
+    allocated fp16 zeros (the dry run only checks the key map)."""
+    import torch
+    from transformers import LlamaConfig, LlamaForCausalLM
+    from transformers import SamConfig, SamModel
+    from transformers.models.sam import (SamMaskDecoderConfig,
+                                         SamPromptEncoderConfig,
+                                         SamVisionConfig)
+
+    from .convert_weights import hf_sam_to_original
+
+    # LLaMA-7B with the reference's extended vocab: 32000 base + [SEG]
+    # + <im_start>/<im_end>/<im_patch> (train_ds.py:135-149).
+    lcfg = LlamaConfig(vocab_size=32004, hidden_size=4096,
+                       intermediate_size=11008, num_hidden_layers=32,
+                       num_attention_heads=32)
+    with torch.device("meta"):
+        llama = LlamaForCausalLM(lcfg)
+    sd = {}
+    for k, v in llama.state_dict().items():
+        sd[k] = np.zeros(tuple(v.shape), np.float16)
+    del llama
+
+    # ViT-H SAM (sam_vit_h_4b8939.pth geometry) via HF SamModel meta
+    # init, renamed to the original layout the shipped .pth uses.
+    scfg = SamConfig(
+        vision_config=SamVisionConfig(
+            hidden_size=1280, num_hidden_layers=32, num_attention_heads=16,
+            global_attn_indexes=[7, 15, 23, 31], mlp_dim=5120),
+        prompt_encoder_config=SamPromptEncoderConfig(),
+        mask_decoder_config=SamMaskDecoderConfig())
+    with torch.device("meta"):
+        sam = SamModel(scfg)
+    hf_sam = {k: np.zeros(tuple(v.shape), np.float16)
+              for k, v in sam.state_dict().items()}
+    del sam
+    orig = hf_sam_to_original(hf_sam)
+    # positional embedding buffer is a persistent buffer on the .pth
+    if "image_encoder.pos_embed" not in orig:
+        orig["image_encoder.pos_embed"] = np.zeros((1, 64, 64, 1280),
+                                                   np.float16)
+    for k, v in orig.items():
+        if k.startswith("mask_decoder."):
+            sd[f"model.visual_model.mask_decoder_left.{k[13:]}"] = v
+            sd[f"model.visual_model.mask_decoder_right.{k[13:]}"] = v
+        else:
+            sd[f"model.visual_model.{k}"] = v
+    # taxonomy head: MLP 4*256 -> 4*256 -> 4 on the LEFT decoder
+    # (reference mask_decoder.py:75-77, build_sam.py:92-117)
+    for j, (o, i) in enumerate(((1024, 1024), (1024, 1024), (4, 1024))):
+        sd["model.visual_model.mask_decoder_left."
+           f"taxonomy_embed.layers.{j}.weight"] = np.zeros((o, i),
+                                                           np.float16)
+        sd["model.visual_model.mask_decoder_left."
+           f"taxonomy_embed.layers.{j}.bias"] = np.zeros((o,), np.float16)
+
+    sd["model.mm_projector.weight"] = np.zeros((4096, 1024), np.float16)
+    sd["model.mm_projector.bias"] = np.zeros((4096,), np.float16)
+    # text_hidden_fcs: Linear(4096,4096), ReLU, Linear(4096,256), Dropout
+    # (LISA.py:91-104)
+    sd["model.text_hidden_fcs.0.0.weight"] = np.zeros((4096, 4096),
+                                                      np.float16)
+    sd["model.text_hidden_fcs.0.0.bias"] = np.zeros((4096,), np.float16)
+    sd["model.text_hidden_fcs.0.2.weight"] = np.zeros((256, 4096),
+                                                      np.float16)
+    sd["model.text_hidden_fcs.0.2.bias"] = np.zeros((256,), np.float16)
+    return _TrackingDict(sd)
+
+
+def dry_run_7b() -> int:
+    """Key-map/vocab-drift gate at the SHIPPED 7B shapes (VERDICT r4
+    missing item 1 / r5 item 8): convert the full synthetic 2HAff-layout
+    state dict and require (a) every checkpoint key consumed, (b) every
+    converted leaf lands in the real 7B init tree with matching shape,
+    (c) no converted key without a home. Uses jax.eval_shape for the
+    init (nothing 7B-sized materializes on device)."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+    from flax import traverse_util
+
+    from ..core.config import ModelConfig
+    from ..model.lisa import LisaModel, TrainBatch
+    from .convert_weights import convert_2haff
+
+    sd = _shipped_7b_state_dict()
+    conv = convert_2haff(sd, llama_layers=32, sam_depth=32)
+    # convert_2haff strips the visual_model prefix into a plain dict
+    # (bypassing read tracking); re-run convert_sam on a tracked view to
+    # recover which of those keys the converter actually consumes.
+    from .convert_weights import convert_sam
+
+    pfx = "model.visual_model."
+    sam_view = _TrackingDict(
+        {k[len(pfx):]: v for k, v in dict.items(sd)
+         if k.startswith(pfx)})
+    convert_sam(sam_view, depth=32)
+    sd.read |= {pfx + k for k in sam_view.read}
+    unread = {k for k in sd if k not in sd.read}
+    # rotary/cache buffers have no learned content; nothing else may be
+    # left behind.
+    unread = {k for k in unread if "rotary_emb" not in k
+              and "inv_freq" not in k}
+    if unread:
+        print(f"FAIL dry_run_7b: {len(unread)} shipped keys never read "
+              f"(first: {sorted(unread)[:5]})")
+        return 1
+
+    base = ModelConfig.preset("7b")
+    cfg = base.replace(llama=dataclasses.replace(
+        base.llama, vocab_size=32004))
+    model = LisaModel(cfg=cfg, dtype=jnp.bfloat16)
+    S = cfg.sam_encoder.image_size
+    C = cfg.clip.image_size
+    batch = TrainBatch(
+        images_sam=jnp.zeros((1, S, S, 3)),
+        images_clip=jnp.zeros((1, C, C, 3)),
+        image_index=jnp.zeros((1,), jnp.int32),
+        input_ids=jnp.zeros((1, 32), jnp.int32),
+        labels=jnp.zeros((1, 32), jnp.int32),
+        attention_mask=jnp.ones((1, 32), jnp.int32),
+        masks_left=jnp.zeros((1, S, S)),
+        masks_right=jnp.zeros((1, S, S)),
+        taxonomies=jnp.zeros((1, 4)),
+        valid_region=jnp.ones((1, S, S)),
+        sample_weight=jnp.ones((1,)))
+    shapes = jax.eval_shape(model.init, jax.random.PRNGKey(0), batch)
+    import flax.linen as nn
+
+    flat_init = traverse_util.flatten_dict(nn.unbox(shapes["params"]))
+    flat_conv = traverse_util.flatten_dict(conv)
+    missing, mismatched = [], []
+    for k, v in flat_conv.items():
+        if k not in flat_init:
+            missing.append("/".join(k))
+        elif tuple(flat_init[k].shape) != tuple(np.asarray(v).shape):
+            mismatched.append(("/".join(k), tuple(flat_init[k].shape),
+                               tuple(np.asarray(v).shape)))
+    # Init-tree params legitimately absent from the shipped checkpoint:
+    # LoRA adapters (merged out), CLIP tower (stripped, loaded
+    # separately), the RIGHT decoder's taxonomy head if config'd off.
+    uncovered = [
+        "/".join(k) for k in flat_init
+        if k not in flat_conv
+        and "lora" not in "/".join(k).lower()
+        and not "/".join(k).startswith("vision_tower/")
+    ]
+    ok = not missing and not mismatched and not uncovered
+    print(f"{'PASS' if ok else 'FAIL'} dry_run_7b: "
+          f"{len(flat_conv)} converted leaves, "
+          f"{len(missing)} homeless, {len(mismatched)} shape-mismatched, "
+          f"{len(uncovered)} init params uncovered")
+    for name, lst in (("homeless", missing), ("mismatched", mismatched),
+                      ("uncovered", uncovered)):
+        if lst:
+            print(f"  first {name}: {lst[:6]}")
+    return 0 if ok else 1
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--clip", default=None,
@@ -89,7 +275,12 @@ def main(argv=None):
                    help="override inferred encoder head count "
                         "(non-released checkpoint sizes)")
     p.add_argument("--image", default=None)
+    p.add_argument("--dry_run_7b", action="store_true",
+                   help="key-map/vocab drift gate at shipped 7B shapes "
+                        "(no checkpoints needed)")
     args = p.parse_args(argv)
+    if args.dry_run_7b:
+        sys.exit(dry_run_7b())
 
     import dataclasses
 

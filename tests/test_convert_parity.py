@@ -117,3 +117,24 @@ def test_conv_transpose_matches_torch():
               "bias": jnp.asarray(tconv.bias.detach().numpy())}
     ours = np.asarray(m.apply({"params": params}, xj))
     np.testing.assert_allclose(ours, ref, rtol=1e-5, atol=1e-5)
+
+
+def test_parity_dry_run_7b_shipped_shapes():
+    """Key-map/vocab drift gate at the SHIPPED sjauhri/2HAff shapes
+    (VERDICT r5 item 8): every key of a shape-exact 7B-layout synthetic
+    checkpoint (HF meta-init key names: LLaMA-7B vocab 32004 + ViT-H SAM
+    with dual decoders + taxonomy head + projector/text_fcs) must be
+    consumed by convert_2haff and land in the real 7B init tree
+    (jax.eval_shape) with matching shapes; and every non-LoRA/non-CLIP
+    init param must be covered. Subprocess: ~8 GB of lazily-zero pages
+    and an independent jax platform."""
+    import subprocess
+    import sys
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "haff_tpu.tools.parity_check",
+         "--dry_run_7b"],
+        capture_output=True, text=True, timeout=900,
+        env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"})
+    assert proc.returncode == 0, proc.stdout + proc.stderr
+    assert "PASS dry_run_7b" in proc.stdout

