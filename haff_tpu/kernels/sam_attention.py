@@ -1148,7 +1148,7 @@ def sam_global_attention(q, k, v, rel_h, rel_w, hw: Tuple[int, int],
 # ---------------------------------------------------------------------------
 
 def _global_qkv_kernel(q_ref, k_ref, v_ref, bt_ref, o_ref,
-                       acc_ref, m_ref, l_ref, *,
+                       acc_ref, m_ref, l_ref, qa_ref=None, *,
                        hh, d, kp, W, blk, num_kb, sm_scale,
                        use_exp2=False):
     """Flash-style global attention over lane-blocked halves of the qkv
@@ -1176,18 +1176,34 @@ def _global_qkv_kernel(q_ref, k_ref, v_ref, bt_ref, o_ref,
     ridx = jax.lax.broadcasted_iota(jnp.int32, (blk, kp), 1)
     eh = (rows // W == ridx).astype(q.dtype)          # (blk, kp)
     ew = (rows % W == ridx).astype(q.dtype)
-    qa_list, ka_list, v_list = [], [], []
+    ka_list, v_list = [], []
     for h in range(hh):
-        qh = q[:, h * d:(h + 1) * d]
-        qs = (qh.astype(jnp.float32) * sm_scale).astype(q.dtype)
-        bc = bt[:, h * 2 * kp:(h + 1) * 2 * kp]       # [Bh | Bw]
-        qa_list.append(jnp.concatenate([qs, bc], axis=1)[None])
         ka_list.append(jnp.concatenate(
             [k[:, h * d:(h + 1) * d], eh, ew], axis=1)[None])
         v_list.append(v[:, h * d:(h + 1) * d][None])
-    qa = jnp.concatenate(qa_list, axis=0)             # (hh, blq, d+2kp)
     ka = jnp.concatenate(ka_list, axis=0)             # (hh, blk, d+2kp)
     vv = jnp.concatenate(v_list, axis=0)              # (hh, blk, d)
+
+    def _build_qa():
+        qa_list = []
+        for h in range(hh):
+            qh = q[:, h * d:(h + 1) * d]
+            qs = (qh.astype(jnp.float32) * sm_scale).astype(q.dtype)
+            bc = bt[:, h * 2 * kp:(h + 1) * 2 * kp]   # [Bh | Bw]
+            qa_list.append(jnp.concatenate([qs, bc], axis=1)[None])
+        return jnp.concatenate(qa_list, axis=0)       # (hh, blq, d+2kp)
+
+    if qa_ref is None:
+        qa = _build_qa()
+    else:
+        # HAFF_GLOBAL_QAHOIST: qa depends only on the q block — build it
+        # ONCE per q-block into VMEM scratch instead of re-concatenating
+        # ~(hh, blq, d+2kp) on every k step (nk-1 redundant VPU passes).
+        @pl.when(ki == 0)
+        def _stash_qa():
+            qa_ref[...] = _build_qa()
+
+        qa = qa_ref[...]
 
     s = jax.lax.dot_general(qa, ka, (((2,), (2,)), ((0,), (0,))),
                             preferred_element_type=jnp.float32)
@@ -1260,6 +1276,14 @@ def _global_qkv_fwd(qkv, rel_h, rel_w, hw, nh, sm_scale, interpret,
 
     hh = nh // 2
     hc, hb = hh * d, hh * 2 * kp
+    qa_hoist = os.environ.get("HAFF_GLOBAL_QAHOIST") == "1"
+    scratch = [
+        pltpu.VMEM((hh, block_q, d), jnp.float32),
+        pltpu.VMEM((hh, block_q, 1), jnp.float32),
+        pltpu.VMEM((hh, block_q, 1), jnp.float32),
+    ]
+    if qa_hoist:
+        scratch.append(pltpu.VMEM((hh, block_q, d + 2 * kp), qkv.dtype))
     out = pl.pallas_call(
         functools.partial(_global_qkv_kernel, hh=hh, d=d, kp=kp, W=W,
                           blk=block_k, num_kb=nk, sm_scale=sm_scale,
@@ -1279,11 +1303,7 @@ def _global_qkv_fwd(qkv, rel_h, rel_w, hw, nh, sm_scale, interpret,
         out_specs=pl.BlockSpec((1, block_q, hc),
                                lambda bi, hi, qi, ki: (bi, qi, hi)),
         out_shape=jax.ShapeDtypeStruct((b, l, c), qkv.dtype),
-        scratch_shapes=[
-            pltpu.VMEM((hh, block_q, d), jnp.float32),
-            pltpu.VMEM((hh, block_q, 1), jnp.float32),
-            pltpu.VMEM((hh, block_q, 1), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary"),

@@ -465,3 +465,24 @@ def test_window_inkernel_band_matches_hbm_band_path():
     xla = np.asarray(SA._window_qkv_xla(
         qkv, rel_h, rel_w, (H, W), nh, sm), np.float32)
     assert np.abs(xla[:, :lcont] - new[:, :lcont]).max() < 0.05
+
+
+def test_global_qkv_qahoist_bit_identical(monkeypatch):
+    """HAFF_GLOBAL_QAHOIST (qa built once per q-block into VMEM scratch
+    instead of re-concatenated every k step) must be BIT-identical to
+    the default — it only changes when the same values are computed."""
+    from haff_tpu.kernels import sam_attention as SA
+
+    rng = np.random.RandomState(3)
+    nh, d, H, W = 16, 80, 16, 16        # c = 1280 (ViT-H lanes), nk = 4
+    l = H * W
+    qkv = jnp.asarray(
+        rng.randn(2, l, 3 * nh * d).astype(np.float32) * 0.3, jnp.bfloat16)
+    rel_h = jnp.asarray(rng.randn(2 * H - 1, d).astype(np.float32) * 0.05)
+    rel_w = jnp.asarray(rng.randn(2 * W - 1, d).astype(np.float32) * 0.05)
+    base = SA._global_qkv_fwd(qkv, rel_h, rel_w, (H, W), nh, d ** -0.5,
+                              True, block_q=128, block_k=64)
+    monkeypatch.setenv("HAFF_GLOBAL_QAHOIST", "1")
+    hoist = SA._global_qkv_fwd(qkv, rel_h, rel_w, (H, W), nh, d ** -0.5,
+                               True, block_q=128, block_k=64)
+    assert (np.asarray(base) == np.asarray(hoist)).all()
