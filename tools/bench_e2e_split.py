@@ -13,7 +13,11 @@ Usage: python tools/bench_e2e_split.py [--preset 7b] [--batch 8]
 
 import argparse
 import json
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
