@@ -340,7 +340,8 @@ def _merge_cached_legs(headline_too: bool = False) -> None:
                 _best_fps = cached.pop("value")
                 _best_extra = {**cached, "headline_source": "cached"}
                 changed = True
-        for leg, probe in (("e2e", "e2e_fps"), ("p50", "p50_ms")):
+        for leg, probe in (("e2e", "e2e_fps"), ("p50", "p50_ms"),
+                           ("train", "train_samples_per_sec")):
             if probe not in _e2e_fields:
                 cached = load(leg)
                 if cached:

@@ -146,6 +146,20 @@ def main(batch=4, seq=320, preset="1b", steps=5, load_in_8bit=False,
     print(json.dumps(dict(metric="lora_train_samples_per_sec_chip",
                           value=round(batch * steps / dt, 3),
                           unit="samples/s", loss=round(loss, 4), **meta)))
+    # Persist as a bench-cache leg so the driver's end-of-round bench.py
+    # line carries the training-throughput row (VERDICT r5 item 1: the
+    # BENCH artifact, not just ROUND_NOTES, should hold the number).
+    try:
+        from haff_tpu.utils.bench_cache import store
+
+        mode = ("int4" if load_in_4bit else
+                "int8" if load_in_8bit else "bf16")
+        store("train", dict(
+            train_samples_per_sec=round(batch * steps / dt, 3),
+            train_preset=f"{preset}-qlora-{mode}", train_batch=batch,
+            train_mfu_pct=meta.get("mfu_pct")))
+    except Exception:
+        pass
 
 
 if __name__ == "__main__":
