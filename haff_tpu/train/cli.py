@@ -397,7 +397,13 @@ def main(argv=None):
             bits=4 if args.load_in_4bit else 8)
         print(f"frozen base quantized in-tree "
               f"({'int4' if args.load_in_4bit else 'int8'})")
-    step_fn = jax.jit(base_step)
+    # Donate the TrainState (arg 0): the step's updated params/moments
+    # alias the previous buffers. Without this the old and new state
+    # coexist at the step boundary — measured (XLA memory_analysis, r5)
+    # as +4.16 GB at 13B / +3.29 GB at 7B, the margin that OOMed 13B
+    # QLoRA on the 16 GB chip. The loop below only ever reads the
+    # returned state, so donation is safe.
+    step_fn = jax.jit(base_step, donate_argnums=(0,))
     logger = MetricsLogger(log_dir, use_wandb=args.use_wandb,
                            exp_name=args.exp_name)
     rng = jax.random.PRNGKey(args.seed)
