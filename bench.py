@@ -268,8 +268,13 @@ def _measure_e2e() -> None:
     try:
         import bench_e2e
 
+        # prompt_len 256: the REAL prompt length (ByteTokenizer p95 over
+        # the benchmark corpus = 257 tokens, ROUND_NOTES r4; 320 was a
+        # synthetic pad). Measured r5 ladder at this length: b8 8.6 /
+        # b16 8.83 / b32 9.14 fps vs 7.57 at the padded 320.
         run_e2e, meta = bench_e2e.build(
-            "7b", batch=8, load_in_8bit=True, kv_cache_8bit=True)
+            "7b", batch=8, prompt_len=256, load_in_8bit=True,
+            kv_cache_8bit=True)
         run_e2e()  # compile
         run_e2e()  # warm
         t0 = time.perf_counter()
@@ -282,7 +287,7 @@ def _measure_e2e() -> None:
 
         e2e_fps = 8 * iters / dt
         fields = dict(
-            e2e_fps=round(e2e_fps, 3),
+            e2e_fps=round(e2e_fps, 3), e2e_prompt_len=256,
             **mfu_fields(meta.get("flops_per_call"), iters / dt,
                          prefix="e2e_"))
         store("e2e", fields)
@@ -301,7 +306,8 @@ def _measure_p50() -> None:
         import bench_e2e
 
         run1, _ = bench_e2e.build(
-            "7b", batch=1, load_in_8bit=True, kv_cache_8bit=True)
+            "7b", batch=1, prompt_len=256, load_in_8bit=True,
+            kv_cache_8bit=True)
         run1()  # compile
         run1()  # warm
         times = []
@@ -312,7 +318,7 @@ def _measure_p50() -> None:
         from haff_tpu.utils.bench_cache import store
 
         p50 = float(np.percentile(times, 50))
-        fields = dict(p50_ms=round(p50, 1))
+        fields = dict(p50_ms=round(p50, 1), p50_prompt_len=256)
         store("p50", fields)
         with _best_lock:
             _e2e_fields.update(fields)

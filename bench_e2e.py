@@ -149,6 +149,7 @@ def main(batch=8, prompt_len=320, max_new=16, preset="1b",
         from haff_tpu.utils.bench_cache import store
 
         store("e2e", dict(e2e_fps=round(fps, 3),
+                          e2e_prompt_len=prompt_len,
                           **{f"e2e_{k}": v for k, v in meta.items()
                              if k in ("tflops", "mfu_pct")}))
     return fps
@@ -179,7 +180,7 @@ def latency(prompt_len=320, max_new=16, preset="1b", iters=12,
     if preset == "7b" and load_in_8bit and kv_cache_8bit and not speculative:
         from haff_tpu.utils.bench_cache import store
 
-        store("p50", dict(p50_ms=round(p50, 1)))
+        store("p50", dict(p50_ms=round(p50, 1), p50_prompt_len=prompt_len))
     return p50
 
 
