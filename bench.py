@@ -105,6 +105,11 @@ def _watchdog() -> None:
     while (_run_inflight and _best_fps is None
            and time.monotonic() < grace_end):
         time.sleep(2.0)
+    # Deadline path: a leg (observed: the e2e build after the headline)
+    # can hang on a wedged tunnel compile and never reach main()'s
+    # trailing _merge_cached_legs — merge the same-code cached legs HERE
+    # so the final artifact line still carries e2e/p50/train fields.
+    _merge_cached_legs(headline_too=True)
     with _best_lock:
         failed = _best_fps is None
         if failed:
@@ -268,6 +273,8 @@ def _measure_e2e() -> None:
     try:
         import bench_e2e
 
+        print(f"# e2e leg: building ({_remaining():.0f}s left)",
+              file=sys.stderr, flush=True)
         # prompt_len 256: the REAL prompt length (ByteTokenizer p95 over
         # the benchmark corpus = 257 tokens, ROUND_NOTES r4; 320 was a
         # synthetic pad). Measured r5 ladder at this length: b8 8.6 /
@@ -275,6 +282,8 @@ def _measure_e2e() -> None:
         run_e2e, meta = bench_e2e.build(
             "7b", batch=8, prompt_len=256, load_in_8bit=True,
             kv_cache_8bit=True)
+        print(f"# e2e leg: built, compiling/warming "
+              f"({_remaining():.0f}s left)", file=sys.stderr, flush=True)
         run_e2e()  # compile
         run_e2e()  # warm
         t0 = time.perf_counter()
