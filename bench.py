@@ -356,7 +356,9 @@ def _merge_cached_legs(headline_too: bool = False) -> None:
                 _best_extra = {**cached, "headline_source": "cached"}
                 changed = True
         for leg, probe in (("e2e", "e2e_fps"), ("p50", "p50_ms"),
-                           ("train", "train_samples_per_sec")):
+                           ("train", "train_samples_per_sec"),
+                           ("e2e_best", "e2e_best_fps"),
+                           ("spec", "spec_fps")):
             if probe not in _e2e_fields:
                 cached = load(leg)
                 if cached:
